@@ -1,0 +1,186 @@
+"""Functional NN primitives: params are pytrees, forwards are pure functions.
+
+Conventions (TPU-first):
+  * activations are channels-last: images ``(N, H, W, C)``, videos
+    ``(B, T, H, W, C)``, sequences ``(N, S, C)``
+  * conv kernels are HWIO; linear kernels are (in, out)
+  * GroupNorm / LayerNorm statistics always run in float32 (the bf16 network
+    keeps fp32 norm islands, mirroring the reference's fp16+fp32-GN policy)
+  * every ``init_*`` returns a params dict; the matching lower-case function
+    applies it
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = dict
+
+# ---------------------------------------------------------------------------
+# initializers
+
+
+def _split(key, n):
+    return jax.random.split(key, n)
+
+
+def init_linear(
+    key, in_dim: int, out_dim: int, use_bias: bool = True, dtype=jnp.float32,
+    zero_init: bool = False,
+) -> Params:
+    if zero_init:
+        kernel = jnp.zeros((in_dim, out_dim), dtype)
+    else:
+        kernel = jax.nn.initializers.lecun_normal()(key, (in_dim, out_dim), dtype)
+    p = {"kernel": kernel}
+    if use_bias:
+        p["bias"] = jnp.zeros((out_dim,), dtype)
+    return p
+
+
+def init_conv(
+    key,
+    in_c: int,
+    out_c: int,
+    kernel_size: Union[int, Tuple[int, int]] = 3,
+    use_bias: bool = True,
+    dtype=jnp.float32,
+    zero_init: bool = False,
+) -> Params:
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size, kernel_size)
+    shape = (*kernel_size, in_c, out_c)
+    if zero_init:
+        kernel = jnp.zeros(shape, dtype)
+    else:
+        kernel = jax.nn.initializers.lecun_normal()(key, shape, dtype)
+    p = {"kernel": kernel}
+    if use_bias:
+        p["bias"] = jnp.zeros((out_c,), dtype)
+    return p
+
+
+def init_norm(num_channels: int, dtype=jnp.float32) -> Params:
+    """Scale/bias pair shared by GroupNorm and LayerNorm."""
+    return {
+        "scale": jnp.ones((num_channels,), dtype),
+        "bias": jnp.zeros((num_channels,), dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# appliers
+
+
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ p["kernel"].astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def conv2d(
+    p: Params,
+    x: jnp.ndarray,
+    stride: Union[int, Tuple[int, int]] = 1,
+    padding: Union[str, int, Sequence[Tuple[int, int]]] = 1,
+) -> jnp.ndarray:
+    """NHWC conv with HWIO kernel."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    y = lax.conv_general_dilated(
+        x,
+        p["kernel"].astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def conv_temporal(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Conv along time only, kernel (3,1,1) in the reference (resnet.py:59).
+
+    ``x`` is ``(B, T, H, W, C)``; implemented as a 2D conv over a
+    ``(B, T, H*W, C)`` view with kernel (3, 1) so XLA tiles it on the MXU.
+    Kernel param shape: (3, 1, I, O).
+    """
+    b, t, h, w, c = x.shape
+    y = x.reshape(b, t, h * w, c)
+    y = lax.conv_general_dilated(
+        y,
+        p["kernel"].astype(x.dtype),
+        window_strides=(1, 1),
+        padding=[(1, 1), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y.reshape(b, t, h, w, -1)
+
+
+def group_norm(
+    p: Params, x: jnp.ndarray, num_groups: int = 32, eps: float = 1e-5
+) -> jnp.ndarray:
+    """GroupNorm over the last axis (channels), stats in fp32.
+
+    Works for any leading shape; channels must divide num_groups.
+    """
+    orig_dtype = x.dtype
+    c = x.shape[-1]
+    x32 = x.astype(jnp.float32)
+    shape = x.shape[:-1] + (num_groups, c // num_groups)
+    xg = x32.reshape(*x.shape[:1], -1, num_groups, c // num_groups)
+    # normalize over all non-batch, non-group axes
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.var(xg, axis=(1, 3), keepdims=True)
+    xg = (xg - mean) * lax.rsqrt(var + eps)
+    y = xg.reshape(x.shape)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    del shape
+    return y.astype(orig_dtype)
+
+
+def layer_norm(
+    p: Optional[Params], x: jnp.ndarray, eps: float = 1e-5
+) -> jnp.ndarray:
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * lax.rsqrt(var + eps)
+    if p is not None:
+        y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def silu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.silu(x)
+
+
+# ---------------------------------------------------------------------------
+# GEGLU feed-forward (diffusers FeedForward with geglu activation)
+
+
+def init_geglu_ff(key, dim: int, mult: int = 4, dtype=jnp.float32) -> Params:
+    k1, k2 = _split(key, 2)
+    inner = dim * mult
+    return {
+        "proj_in": init_linear(k1, dim, inner * 2, dtype=dtype),
+        "proj_out": init_linear(k2, inner, dim, dtype=dtype),
+    }
+
+
+def geglu_ff(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    h = linear(p["proj_in"], x)
+    h, gate = jnp.split(h, 2, axis=-1)
+    h = h * jax.nn.gelu(gate)
+    return linear(p["proj_out"], h)

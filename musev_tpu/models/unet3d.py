@@ -1,0 +1,540 @@
+"""The MuseV 3D UNet as one pure function over a params pytree.
+
+Behavioral reference: musev/models/unet_3d_condition.py (structure :212-610,
+forward :773-1280) and unet_3d_blocks.py. Re-designed for TPU:
+
+  * channels-last NHWC everywhere, frames folded into the batch for spatial
+    ops — XLA tiles convs/matmuls straight onto the MXU
+  * all frame-index bookkeeping (vision-condition splicing, masks) is static:
+    the same jitted function serves every denoise step
+  * "modes" that the reference toggles by mutation (skip_temporal_layers,
+    write/read refer embs) are static python args → separate XLA programs
+  * CFG runs as [uncond; cond] batch halves; the ReferenceOnly uncond-fix is
+    a static split, not a recompute
+
+Note on AdaIN: the reference enables ``need_adain_temporal_cond`` for every
+preset, but its ``batch_adain_conditioned_tensor`` discards the result for
+4-D inputs (data_util.py:600-601 rearranges ``tensor`` instead of ``src``),
+so block-level AdaIN is a no-op in the released models. ``adain_fix=False``
+(default) reproduces that (and skips the compute); set True for real AdaIN.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.adain import adain_to_condition_frames
+from ..ops.index_ops import frame_mask, splice_with_index
+from . import unet_blocks as blk
+from .common import Params, conv2d, group_norm, init_conv, init_norm, silu
+from .embeddings import (
+    init_timestep_embedding,
+    sinusoidal_embedding,
+    timestep_embedding,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class UNet3DConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    down_block_types: Tuple[str, ...] = (
+        "CrossAttnDownBlock3D",
+        "CrossAttnDownBlock3D",
+        "CrossAttnDownBlock3D",
+        "DownBlock3D",
+    )
+    up_block_types: Tuple[str, ...] = (
+        "UpBlock3D",
+        "CrossAttnUpBlock3D",
+        "CrossAttnUpBlock3D",
+        "CrossAttnUpBlock3D",
+    )
+    layers_per_block: int = 2
+    cross_attention_dim: int = 768
+    attention_heads: int = 8
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-5
+    temporal_conv: bool = True
+    temporal_transformer: bool = True
+    need_transformer_in: bool = True
+    reference_attn: bool = True  # NonParam ReferenceOnly self-attn (musev presets)
+    need_adain_temporal_cond: bool = True
+    adain_fix: bool = False  # see module docstring
+    keep_vision_condition: bool = False
+    use_anivv1_cfg: bool = False
+    resnet_skip_time_act: bool = False
+    need_refer_emb: bool = False  # ReferenceNet block-emb fusion
+    ip_adapter_cross_attn: bool = False
+    ip_adapter_dim: int = 768  # clip image emb dim after projection
+    keep_content_condition: bool = False  # temporal-layer condition-frame mask
+
+    @property
+    def temb_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+    @property
+    def femb_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+
+def musev_config(**overrides) -> UNet3DConfig:
+    """The ``musev`` preset (unet_loader.py:232-242)."""
+    return UNet3DConfig(**overrides)
+
+
+def musev_referencenet_config(**overrides) -> UNet3DConfig:
+    """The ``musev_referencenet[_pose]`` preset (unet_loader.py:243-268)."""
+    kw: Dict[str, Any] = dict(
+        need_transformer_in=False,
+        use_anivv1_cfg=True,
+        resnet_skip_time_act=True,
+        keep_vision_condition=True,
+        need_refer_emb=True,
+        ip_adapter_cross_attn=True,
+    )
+    kw.update(overrides)
+    return UNet3DConfig(**kw)
+
+
+# ---------------------------------------------------------------------------
+# init
+
+
+def _is_cross(name: str) -> bool:
+    return "CrossAttn" in name
+
+
+def init_unet3d(key, cfg: UNet3DConfig, dtype=jnp.float32) -> Params:
+    ks = iter(jax.random.split(key, 256))
+    nxt = lambda: next(ks)  # noqa: E731
+    ch0 = cfg.block_out_channels[0]
+    p: Params = {
+        "conv_in": init_conv(nxt(), cfg.in_channels, ch0, 3, dtype=dtype),
+        "time_embedding": init_timestep_embedding(nxt(), ch0, cfg.temb_dim, dtype=dtype),
+    }
+    if cfg.temporal_transformer:
+        p["frame_embedding"] = init_timestep_embedding(
+            nxt(), ch0, cfg.femb_dim, dtype=dtype
+        )
+    if cfg.need_transformer_in and cfg.temporal_transformer:
+        p["transformer_in"] = blk.init_temporal_transformer(
+            nxt(), ch0, cfg.attention_heads, cfg.femb_dim, dtype=dtype
+        )
+    if cfg.need_refer_emb:
+        p["first_refer_emb_attns"] = blk.init_refer_fuse_attention(nxt(), ch0, dtype)
+        p["mid_block_refer_emb_attns"] = blk.init_refer_fuse_attention(
+            nxt(), cfg.block_out_channels[-1], dtype
+        )
+
+    def temporal_pair(c):
+        sub = {}
+        if cfg.temporal_conv:
+            sub["temp_conv"] = blk.init_temporal_conv(nxt(), c, dtype=dtype)
+        if cfg.temporal_transformer:
+            sub["temp_attn"] = blk.init_temporal_transformer(
+                nxt(), c, cfg.attention_heads, cfg.femb_dim, dtype=dtype
+            )
+        return sub
+
+    skip_channels = [ch0]
+    down_blocks = []
+    out_c = ch0
+    for i, btype in enumerate(cfg.down_block_types):
+        in_c = out_c
+        out_c = cfg.block_out_channels[i]
+        is_final = i == len(cfg.block_out_channels) - 1
+        layers = []
+        for j in range(cfg.layers_per_block):
+            layer = {
+                "resnet": blk.init_resnet_block(
+                    nxt(), in_c if j == 0 else out_c, out_c, cfg.temb_dim, dtype
+                ),
+                **temporal_pair(out_c),
+            }
+            if _is_cross(btype):
+                layer["attn"] = blk.init_spatial_transformer(
+                    nxt(), out_c, cfg.cross_attention_dim, dtype,
+                    ip_adapter=cfg.ip_adapter_cross_attn,
+                )
+            layers.append(layer)
+            skip_channels.append(out_c)
+        block = {"layers": layers}
+        if not is_final:
+            block["downsample"] = blk.init_downsample(nxt(), out_c, dtype)
+            skip_channels.append(out_c)
+        if cfg.need_refer_emb:
+            n_fuse = len(layers) + (0 if is_final else 1)
+            block["refer_emb_attns"] = [
+                blk.init_refer_fuse_attention(nxt(), out_c, dtype)
+                for _ in range(n_fuse)
+            ]
+        down_blocks.append(block)
+    p["down_blocks"] = down_blocks
+
+    # mid block: resnets [0, 1], temp_convs [0, 1], one attn, one temp_attn
+    # (reference UNetMidBlock3DCrossAttn, unet_3d_blocks.py:286-361; forward
+    # order resnet0 -> temp_conv0 -> attn -> temp_attn -> resnet1 -> temp_conv1)
+    mid_c = cfg.block_out_channels[-1]
+    mid: Params = {
+        "resnet_0": blk.init_resnet_block(nxt(), mid_c, mid_c, cfg.temb_dim, dtype),
+        "attn": blk.init_spatial_transformer(
+            nxt(), mid_c, cfg.cross_attention_dim, dtype,
+            ip_adapter=cfg.ip_adapter_cross_attn,
+        ),
+        "resnet_1": blk.init_resnet_block(nxt(), mid_c, mid_c, cfg.temb_dim, dtype),
+    }
+    if cfg.temporal_conv:
+        mid["temp_conv_0"] = blk.init_temporal_conv(nxt(), mid_c, dtype=dtype)
+        mid["temp_conv_1"] = blk.init_temporal_conv(nxt(), mid_c, dtype=dtype)
+    if cfg.temporal_transformer:
+        mid["temp_attn"] = blk.init_temporal_transformer(
+            nxt(), mid_c, cfg.attention_heads, cfg.femb_dim, dtype=dtype
+        )
+    p["mid_block"] = mid
+
+    up_blocks = []
+    rev = list(reversed(cfg.block_out_channels))
+    prev_out = rev[0]
+    for i, btype in enumerate(cfg.up_block_types):
+        out_c = rev[i]
+        is_final = i == len(cfg.up_block_types) - 1
+        layers = []
+        for j in range(cfg.layers_per_block + 1):
+            skip_c = skip_channels.pop()
+            res_in = (prev_out if j == 0 else out_c) + skip_c
+            layer = {
+                "resnet": blk.init_resnet_block(nxt(), res_in, out_c, cfg.temb_dim, dtype),
+                **temporal_pair(out_c),
+            }
+            if _is_cross(btype):
+                layer["attn"] = blk.init_spatial_transformer(
+                    nxt(), out_c, cfg.cross_attention_dim, dtype,
+                    ip_adapter=cfg.ip_adapter_cross_attn,
+                )
+            layers.append(layer)
+        block = {"layers": layers}
+        if not is_final:
+            block["upsample"] = blk.init_upsample(nxt(), out_c, dtype)
+        up_blocks.append(block)
+        prev_out = out_c
+    p["up_blocks"] = up_blocks
+
+    p["conv_norm_out"] = init_norm(ch0)
+    p["conv_out"] = init_conv(nxt(), ch0, cfg.out_channels, 3, dtype=dtype)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# apply
+
+
+def _maybe_adain(cfg, x, num_frames, gen_index, cond_index):
+    if (
+        cfg.need_adain_temporal_cond
+        and cfg.adain_fix
+        and num_frames > 1
+        and gen_index is not None
+        and cond_index is not None
+    ):
+        bt, h, w, c = x.shape
+        b = bt // num_frames
+        v = x.reshape(b, num_frames, h, w, c)
+        v = adain_to_condition_frames(v, gen_index, cond_index)
+        return v.reshape(bt, h, w, c)
+    return x
+
+
+def unet3d_apply(
+    params: Params,
+    cfg: UNet3DConfig,
+    sample: jnp.ndarray,
+    timestep: jnp.ndarray,
+    text_emb: jnp.ndarray,
+    *,
+    condition_latents: Optional[jnp.ndarray] = None,
+    gen_index: Optional[Sequence[int]] = None,
+    cond_index: Optional[Sequence[int]] = None,
+    do_cfg: bool = False,
+    motion_speed: float = 8.0,
+    skip_temporal: bool = False,
+    frame_index: Optional[jnp.ndarray] = None,
+    down_block_refer_embs: Optional[List[jnp.ndarray]] = None,
+    mid_block_refer_emb: Optional[jnp.ndarray] = None,
+    refer_self_attn_embs: Optional[List[jnp.ndarray]] = None,
+    refer_self_attn_mode: Optional[str] = None,
+    vision_clip_emb: Optional[jnp.ndarray] = None,
+    ip_adapter_scale: float = 1.0,
+    controlnet_down_residuals: Optional[Sequence[jnp.ndarray]] = None,
+    controlnet_mid_residual: Optional[jnp.ndarray] = None,
+    pose_guider_emb: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Predict noise for a window of frames.
+
+    Args:
+      sample: (B, T_gen, H, W, C) noisy latents (generated frames only).
+      timestep: scalar or (B,) diffusion timestep.
+      text_emb: (B, S, cross_dim) or (B, T, S, cross_dim) prompt embeddings.
+      condition_latents: (B, n_vc, H, W, C) clean vision-condition latents,
+        spliced into the sample at ``cond_index`` (forward :875-882).
+      gen_index / cond_index: static frame indices in the combined video.
+      do_cfg: leading batch is [uncond; cond] halves.
+      refer_self_attn_embs/mode: "write" collects normalized self-attn inputs
+        (ReferenceNet side), "read" injects them as extra KV tokens.
+      vision_clip_emb: (B, S_ip, D) projected IP-Adapter image tokens.
+
+    Returns:
+      (B, T_total, H, W, C) noise prediction over the *spliced* video
+      (condition frames included, as in the reference; the pipeline drops
+      them, pipeline_controlnet.py:2068-2071).
+    """
+    if condition_latents is not None:
+        assert gen_index is not None and cond_index is not None
+        sample = splice_with_index(
+            condition_latents, cond_index, sample, gen_index, axis=1
+        )
+    b, num_frames, h0, w0, _ = sample.shape
+    compute_dtype = sample.dtype
+    use_temporal = not skip_temporal
+
+    # --- time embedding -> per-frame rows (B*T, temb_dim)
+    ts = jnp.asarray(timestep)
+    if ts.ndim == 0:
+        ts = ts[None]
+    ts = jnp.broadcast_to(ts, (b,))
+    temb = sinusoidal_embedding(ts, cfg.block_out_channels[0])
+    temb = timestep_embedding(params["time_embedding"], temb.astype(compute_dtype))
+    if cfg.use_anivv1_cfg:
+        temb = silu(temb)
+    temb = jnp.repeat(temb, num_frames, axis=0)  # (B*T, D)
+    if (
+        cfg.keep_vision_condition
+        and use_temporal
+        and num_frames > 1
+        and cond_index is not None
+    ):
+        keep_mask = frame_mask(num_frames, cond_index, dtype=temb.dtype)
+        temb = temb * jnp.tile(keep_mask, (b,))[:, None]
+
+    # --- frame embedding (B, T, femb_dim)
+    femb = None
+    if cfg.temporal_transformer and use_temporal:
+        if frame_index is None:
+            fidx = jnp.arange(num_frames, dtype=jnp.float32)
+            if cfg.use_anivv1_cfg:
+                fidx = jnp.floor(fidx * motion_speed)
+            femb = sinusoidal_embedding(fidx, cfg.block_out_channels[0])
+            femb = jnp.broadcast_to(femb[None], (b, num_frames, femb.shape[-1]))
+        else:
+            femb = jax.vmap(
+                lambda f: sinusoidal_embedding(f, cfg.block_out_channels[0])
+            )(frame_index.astype(jnp.float32))
+        femb = timestep_embedding(
+            params["frame_embedding"], femb.astype(compute_dtype)
+        )
+        if cfg.use_anivv1_cfg:
+            femb = silu(femb)
+
+    # --- text context rows (B*T, S, D)
+    if text_emb.ndim == 3:
+        text_ctx = jnp.repeat(text_emb, num_frames, axis=0)
+    else:
+        text_ctx = text_emb.reshape(-1, *text_emb.shape[2:])
+    clip_ctx = None
+    if vision_clip_emb is not None and cfg.ip_adapter_cross_attn:
+        clip_ctx = vision_clip_emb
+        if clip_ctx.ndim == 3:
+            clip_ctx = jnp.repeat(clip_ctx, num_frames, axis=0)
+        else:
+            clip_ctx = clip_ctx.reshape(-1, *clip_ctx.shape[2:])
+
+    # condition-frame mask for temporal residuals (keep_content_condition)
+    cond_mask = None
+    if (
+        cfg.keep_content_condition
+        and use_temporal
+        and num_frames > 1
+        and cond_index is not None
+    ):
+        cond_mask = frame_mask(num_frames, cond_index)
+
+    groups = cfg.norm_num_groups
+    heads = cfg.attention_heads
+    eps = cfg.norm_eps
+
+    spatial_kwargs = dict(
+        heads=heads,
+        groups=groups,
+        num_frames=num_frames,
+        cond_index=cond_index if use_temporal else None,
+        do_cfg=do_cfg,
+        ip_adapter_scale=ip_adapter_scale,
+    )
+
+    self_attn_counter = [0]
+
+    def run_spatial(layer_p, x, refer_tokens=None):
+        idx = self_attn_counter[0]
+        self_attn_counter[0] += 1
+        write_list = None
+        read_tokens = refer_tokens
+        if refer_self_attn_embs is not None:
+            if refer_self_attn_mode == "write":
+                write_list = refer_self_attn_embs
+            elif refer_self_attn_mode == "read":
+                ref = refer_self_attn_embs[idx]
+                read_tokens = ref if read_tokens is None else jnp.concatenate(
+                    [read_tokens, ref], axis=1
+                )
+        return blk.spatial_transformer(
+            layer_p,
+            x,
+            text_ctx,
+            reference_attn=cfg.reference_attn,
+            refer_tokens=read_tokens,
+            vision_clip_tokens=clip_ctx,
+            self_attn_out=write_list,
+            self_attn_idx=idx,
+            **spatial_kwargs,
+        )
+
+    def run_temporal(layer_p, x):
+        if not use_temporal:
+            return x
+        if "temp_conv" in layer_p:
+            x = blk.temporal_conv_layer(
+                layer_p["temp_conv"], x, num_frames=num_frames,
+                cond_mask=cond_mask, groups=groups,
+            )
+        return x
+
+    def run_temporal_attn(layer_p, x):
+        if not use_temporal or "temp_attn" not in layer_p:
+            return x
+        return blk.temporal_transformer(
+            layer_p["temp_attn"], x, femb, num_frames=num_frames, heads=heads,
+            cond_mask=cond_mask, groups=groups,
+        )
+
+    # --- stem
+    x = sample.reshape(b * num_frames, h0, w0, -1)
+    x = conv2d(params["conv_in"], x, padding=1)
+    if pose_guider_emb is not None:
+        x = x + pose_guider_emb.astype(x.dtype)
+    if cfg.need_transformer_in and cfg.temporal_transformer and use_temporal:
+        x = blk.temporal_transformer(
+            params["transformer_in"], x, femb, num_frames=num_frames,
+            heads=heads, cond_mask=cond_mask, groups=groups,
+        )
+    if (
+        cfg.need_refer_emb
+        and down_block_refer_embs is not None
+        and "first_refer_emb_attns" in params
+    ):
+        x = blk.refer_emb_fuse(
+            params["first_refer_emb_attns"], x, down_block_refer_embs[0],
+            num_frames=num_frames, heads=heads,
+        )
+
+    # --- down
+    skips = [x]
+    refer_pos = 1  # index into down_block_refer_embs (0 consumed at the stem)
+    for i_block, block in enumerate(params["down_blocks"]):
+        btype = cfg.down_block_types[i_block]
+        fuse_refer = (
+            cfg.need_refer_emb
+            and down_block_refer_embs is not None
+            and "refer_emb_attns" in block
+        )
+        for j_layer, layer in enumerate(block["layers"]):
+            x = blk.resnet_block(
+                layer["resnet"], x, temb, groups=groups, eps=eps,
+                skip_time_act=cfg.resnet_skip_time_act,
+            )
+            x = run_temporal(layer, x)
+            if _is_cross(btype):
+                x = run_spatial(layer["attn"], x)
+            x = run_temporal_attn(layer, x)
+            x = _maybe_adain(cfg, x, num_frames, gen_index, cond_index)
+            if fuse_refer:
+                x = blk.refer_emb_fuse(
+                    block["refer_emb_attns"][j_layer], x,
+                    down_block_refer_embs[refer_pos + j_layer],
+                    num_frames=num_frames, heads=heads,
+                )
+            skips.append(x)
+        if "downsample" in block:
+            x = blk.downsample(block["downsample"], x)
+            x = _maybe_adain(cfg, x, num_frames, gen_index, cond_index)
+            if fuse_refer:
+                x = blk.refer_emb_fuse(
+                    block["refer_emb_attns"][len(block["layers"])], x,
+                    down_block_refer_embs[refer_pos + len(block["layers"])],
+                    num_frames=num_frames, heads=heads,
+                )
+            skips.append(x)
+        if fuse_refer:
+            refer_pos += len(block["refer_emb_attns"])
+
+    if controlnet_down_residuals is not None:
+        skips = [s + r.astype(s.dtype) for s, r in zip(skips, controlnet_down_residuals)]
+        x = skips[-1]
+
+    # --- mid
+    mid = params["mid_block"]
+    x = blk.resnet_block(
+        mid["resnet_0"], x, temb, groups=groups, eps=eps,
+        skip_time_act=cfg.resnet_skip_time_act,
+    )
+    if "temp_conv_0" in mid:
+        x = run_temporal({"temp_conv": mid["temp_conv_0"]}, x)
+    x = run_spatial(mid["attn"], x)
+    x = run_temporal_attn(mid, x)
+    x = blk.resnet_block(
+        mid["resnet_1"], x, temb, groups=groups, eps=eps,
+        skip_time_act=cfg.resnet_skip_time_act,
+    )
+    if "temp_conv_1" in mid:
+        x = run_temporal({"temp_conv": mid["temp_conv_1"]}, x)
+    x = _maybe_adain(cfg, x, num_frames, gen_index, cond_index)
+    if (
+        cfg.need_refer_emb
+        and mid_block_refer_emb is not None
+        and "mid_block_refer_emb_attns" in params
+    ):
+        x = blk.refer_emb_fuse(
+            params["mid_block_refer_emb_attns"], x, mid_block_refer_emb,
+            num_frames=num_frames, heads=heads,
+        )
+    if controlnet_mid_residual is not None:
+        x = x + controlnet_mid_residual.astype(x.dtype)
+
+    # --- up
+    for i_block, block in enumerate(params["up_blocks"]):
+        btype = cfg.up_block_types[i_block]
+        for layer in block["layers"]:
+            skip = skips.pop()
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = blk.resnet_block(
+                layer["resnet"], x, temb, groups=groups, eps=eps,
+                skip_time_act=cfg.resnet_skip_time_act,
+            )
+            x = run_temporal(layer, x)
+            if _is_cross(btype):
+                x = run_spatial(layer["attn"], x)
+            x = run_temporal_attn(layer, x)
+            x = _maybe_adain(cfg, x, num_frames, gen_index, cond_index)
+        if "upsample" in block:
+            out_hw = skips[-1].shape[1:3] if skips else None
+            x = blk.upsample(block["upsample"], x, out_hw=out_hw)
+
+    # --- head
+    x = group_norm(params["conv_norm_out"], x, num_groups=groups, eps=eps)
+    x = silu(x)
+    x = conv2d(params["conv_out"], x, padding=1)
+    return x.reshape(b, num_frames, h0, w0, -1)

@@ -1,0 +1,189 @@
+"""The VCPD denoise engine: one jitted step, scanned over timesteps.
+
+This is the TPU-native redesign of the reference's triple Python loop
+(timesteps x context-windows x UNet, pipeline_controlnet.py:1846-2147):
+
+  * all context windows of a step run as ONE batched UNet call — the window
+    axis is folded into the batch and (optionally) sharded over the mesh's
+    ``dp`` axis, the direct generalization of ``context_batch_size``
+  * the overlap-average (reference noise_pred/counter accumulation,
+    :2076-2079) is a single static scatter-add + divide; under pjit XLA
+    lowers the cross-device part to ICI collectives
+  * the timestep loop is ``lax.scan`` over a compiled step — zero Python
+    dispatch in the hot path
+
+Stays fully static: window plan, CFG doubling, condition splicing indices and
+guidance schedule are trace-time constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.unet3d import UNet3DConfig, unet3d_apply
+from ..ops.context import WindowPlan
+from ..schedulers.euler_discrete import EulerDiscreteScheduler
+
+
+@dataclasses.dataclass(frozen=True)
+class DenoiseSpec:
+    """Static configuration of one VCPD denoise run."""
+
+    unet_cfg: UNet3DConfig
+    scheduler: EulerDiscreteScheduler
+    plan: WindowPlan
+    guidance: np.ndarray  # (num_steps,) per-step CFG scale
+    n_vision_cond: int = 0
+    do_cfg: bool = True
+    w_ind_noise: float = 0.5
+    noise_type: str = "video_fusion"
+    motion_speed: float = 8.0
+    ip_adapter_scale: float = 1.0
+    dp_axis: Optional[str] = None  # mesh axis to shard the window batch over
+
+
+def _shard_batch(x: jnp.ndarray, spec: DenoiseSpec) -> jnp.ndarray:
+    if spec.dp_axis is None:
+        return x
+    from jax.sharding import PartitionSpec as P
+
+    ndim = x.ndim
+    return jax.lax.with_sharding_constraint(
+        x, P(spec.dp_axis, *([None] * (ndim - 1)))
+    )
+
+
+def predict_noise(
+    params,
+    spec: DenoiseSpec,
+    latents: jnp.ndarray,
+    step_index,
+    text_uc: Optional[jnp.ndarray],
+    text_c: jnp.ndarray,
+    condition_latents: Optional[jnp.ndarray] = None,
+    refer_kwargs: Optional[dict] = None,
+) -> jnp.ndarray:
+    """One full VCPD noise prediction over all windows.
+
+    latents: (B, T, h, w, C); returns (B, T, h, w, C) CFG-combined noise.
+    """
+    b, t, h, w, c = latents.shape
+    plan = spec.plan
+    n_win, wlen = plan.n_windows, plan.window_size
+    n_vc = spec.n_vision_cond
+    windows = jnp.asarray(plan.windows)  # (n_win, wlen)
+
+    scaled = spec.scheduler.scale_model_input(latents, step_index)
+    # gather windows -> (B, n_win, wlen, h, w, C) -> fold to batch
+    win = jnp.take(scaled, windows.reshape(-1), axis=1)
+    win = win.reshape(b, n_win, wlen, h, w, c)
+    win = win.reshape(b * n_win, wlen, h, w, c)
+
+    reps = 2 if spec.do_cfg else 1
+    model_in = jnp.concatenate([win] * reps, axis=0)
+    model_in = _shard_batch(model_in, spec)
+
+    def tile_rows(e):
+        # (B, ...) -> (reps * B * n_win, ...) matching [uncond; cond] halves
+        e = jnp.repeat(e, n_win, axis=0)
+        return jnp.concatenate([e] * reps, axis=0)
+
+    if spec.do_cfg:
+        assert text_uc is not None
+        text = jnp.concatenate(
+            [jnp.repeat(text_uc, n_win, axis=0), jnp.repeat(text_c, n_win, axis=0)],
+            axis=0,
+        )
+    else:
+        text = jnp.repeat(text_c, n_win, axis=0)
+
+    cond = None
+    gen_index = None
+    cond_index = None
+    if condition_latents is not None and n_vc > 0:
+        cond = tile_rows(condition_latents)
+        cond_index = tuple(range(n_vc))
+        gen_index = tuple(range(n_vc, n_vc + wlen))
+
+    extra = dict(refer_kwargs or {})
+    out = unet3d_apply(
+        params,
+        spec.unet_cfg,
+        model_in,
+        jnp.asarray(spec.scheduler.timesteps)[step_index],
+        text,
+        condition_latents=cond,
+        gen_index=gen_index,
+        cond_index=cond_index,
+        do_cfg=spec.do_cfg,
+        motion_speed=spec.motion_speed,
+        ip_adapter_scale=spec.ip_adapter_scale,
+        **extra,
+    )
+    if cond is not None:
+        out = jnp.take(out, jnp.asarray(gen_index, jnp.int32), axis=1)
+
+    # scatter-add the overlap average (reference pipeline :2076-2079)
+    out = out.reshape(reps, b, n_win * wlen, h, w, c)
+    buf = jnp.zeros((reps, b, t, h, w, c), dtype=out.dtype)
+    buf = buf.at[:, :, windows.reshape(-1)].add(out)
+    counts = jnp.asarray(plan.counts, dtype=buf.dtype)
+    noise_pred = buf / counts[None, None, :, None, None, None]
+
+    if spec.do_cfg:
+        g = jnp.asarray(spec.guidance)[step_index].astype(noise_pred.dtype)
+        noise_pred = noise_pred[0] + g * (noise_pred[1] - noise_pred[0])
+    else:
+        noise_pred = noise_pred[0]
+    return noise_pred
+
+
+def denoise_loop(
+    params,
+    spec: DenoiseSpec,
+    latents: jnp.ndarray,
+    text_uc: Optional[jnp.ndarray],
+    text_c: jnp.ndarray,
+    key: jax.Array,
+    condition_latents: Optional[jnp.ndarray] = None,
+    refer_kwargs: Optional[dict] = None,
+) -> jnp.ndarray:
+    """Scan the denoise step over all timesteps. Returns final latents."""
+    num_steps = spec.scheduler.num_inference_steps
+
+    def step_fn(carry, i):
+        lat, k = carry
+        k, sub = jax.random.split(k)
+        noise_pred = predict_noise(
+            params, spec, lat, i, text_uc, text_c, condition_latents, refer_kwargs
+        )
+        prev, _ = spec.scheduler.step(
+            noise_pred,
+            i,
+            lat,
+            key=sub,
+            w_ind_noise=spec.w_ind_noise,
+            noise_type=spec.noise_type,
+        )
+        return (prev, k), None
+
+    (final, _), _ = jax.lax.scan(
+        step_fn, (latents, key), jnp.arange(num_steps, dtype=jnp.int32)
+    )
+    return final
+
+
+def splice_condition_frames(
+    latents: jnp.ndarray, condition_latents: Optional[jnp.ndarray], n_vc: int
+) -> jnp.ndarray:
+    """Final re-splice of clean condition frames at the head
+    (reference :2149-2156 with the default head-first index layout)."""
+    if condition_latents is None or n_vc == 0:
+        return latents
+    return jnp.concatenate([condition_latents.astype(latents.dtype), latents], axis=1)
