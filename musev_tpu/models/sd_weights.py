@@ -1,0 +1,435 @@
+"""Checkpoint ingestion: torch/safetensors (diffusers layout) -> param pytrees.
+
+Covers the reference's weight surgery (SURVEY §3.3):
+  * the MuseV motion UNet (their UNet3DConditionModel state dict)
+  * stock SD1.5 2D UNets loaded into the 3D config (from_pretrained_2d,
+    unet_3d_condition.py:1283-1637) — temporal params keep their init
+  * T2I base-model overwrite of spatial weights (update_unet_with_sd,
+    unet_loader.py:41-80)
+  * AutoencoderKL VAE and CLIP text encoder
+
+The mapping is a declarative bidirectional table: ``unet3d_key_map`` yields
+(torch_key, tree_path, kind) triples; ``convert_*`` walks it forward, and the
+same table can export back for parity testing. Conversion is name-based and
+tolerant: missing torch keys leave the init value in place (strict=False
+mirror), and the unconsumed-key list is returned for inspection.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from .clip_text import CLIPTextConfig
+from .unet3d import UNet3DConfig
+from .vae import VAEConfig
+
+Path = Tuple
+KeyEntry = Tuple[str, Path, str]  # torch key prefix (no .weight/.bias), path, kind
+
+# kinds: "linear" (weight.T / bias), "conv2d" (OIHW->HWIO), "conv3d_t"
+# ((O,I,3,1,1)->(3,1,I,O)), "norm" (weight->scale, bias->bias),
+# "raw" (tensor as-is), "embedding" (as-is)
+
+
+def _attn_entries(tk: str, path: Path, with_ip: bool = False) -> Iterator[KeyEntry]:
+    yield f"{tk}.to_q", (*path, "to_q"), "linear"
+    yield f"{tk}.to_k", (*path, "to_k"), "linear"
+    yield f"{tk}.to_v", (*path, "to_v"), "linear"
+    yield f"{tk}.to_out.0", (*path, "to_out"), "linear"
+    if with_ip:
+        yield f"{tk}.to_k_ip", (*path, "to_k_ip"), "linear"
+        yield f"{tk}.to_v_ip", (*path, "to_v_ip"), "linear"
+        yield f"{tk}.ip_adapter_face_to_k_ip", (*path, "to_k_ip_face"), "linear"
+        yield f"{tk}.ip_adapter_face_to_v_ip", (*path, "to_v_ip_face"), "linear"
+
+
+def _tf_block_entries(tk: str, path: Path, ip: bool) -> Iterator[KeyEntry]:
+    yield f"{tk}.norm1", (*path, "norm1"), "norm"
+    yield from _attn_entries(f"{tk}.attn1", (*path, "attn1"))
+    yield f"{tk}.norm2", (*path, "norm2"), "norm"
+    yield from _attn_entries(f"{tk}.attn2", (*path, "attn2"), with_ip=ip)
+    yield f"{tk}.norm3", (*path, "norm3"), "norm"
+    yield f"{tk}.ff.net.0.proj", (*path, "ff", "proj_in"), "linear"
+    yield f"{tk}.ff.net.2", (*path, "ff", "proj_out"), "linear"
+
+
+def _spatial_attn_entries(tk: str, path: Path, ip: bool) -> Iterator[KeyEntry]:
+    yield f"{tk}.norm", (*path, "norm"), "norm"
+    yield f"{tk}.proj_in", (*path, "proj_in"), "conv2d"
+    yield from _tf_block_entries(f"{tk}.transformer_blocks.0", (*path, "block"), ip)
+    yield f"{tk}.proj_out", (*path, "proj_out"), "conv2d"
+
+
+def _temporal_attn_entries(tk: str, path: Path) -> Iterator[KeyEntry]:
+    yield f"{tk}.norm", (*path, "norm"), "norm"
+    yield f"{tk}.proj_in", (*path, "proj_in"), "linear"
+    yield f"{tk}.frame_emb_proj", (*path, "femb_proj"), "linear"
+    yield from _tf_block_entries(f"{tk}.transformer_blocks.0", (*path, "block"), False)
+    yield f"{tk}.proj_out", (*path, "proj_out"), "linear"
+    yield f"{tk}.temporal_weight", (*path, "temporal_weight"), "raw"
+
+
+def _temporal_conv_entries(tk: str, path: Path) -> Iterator[KeyEntry]:
+    # Sequential indices: conv1 = (GN, SiLU, Conv) -> .0/.2;
+    # conv2..4 = (GN, SiLU, Dropout, Conv) -> .0/.3 (resnet.py:56-78)
+    for i in range(1, 5):
+        conv_idx = 2 if i == 1 else 3
+        yield f"{tk}.conv{i}.0", (*path, f"conv{i}", "norm"), "norm"
+        yield f"{tk}.conv{i}.{conv_idx}", (*path, f"conv{i}", "conv"), "conv3d_t"
+    yield f"{tk}.temporal_weight", (*path, "temporal_weight"), "raw"
+
+
+def _resnet_entries(tk: str, path: Path, temb: bool = True) -> Iterator[KeyEntry]:
+    yield f"{tk}.norm1", (*path, "norm1"), "norm"
+    yield f"{tk}.conv1", (*path, "conv1"), "conv2d"
+    if temb:
+        yield f"{tk}.time_emb_proj", (*path, "time_emb_proj"), "linear"
+    yield f"{tk}.norm2", (*path, "norm2"), "norm"
+    yield f"{tk}.conv2", (*path, "conv2"), "conv2d"
+    yield f"{tk}.conv_shortcut", (*path, "conv_shortcut"), "conv2d"
+
+
+def unet3d_key_map(cfg: UNet3DConfig) -> Iterator[KeyEntry]:
+    yield "conv_in", ("conv_in",), "conv2d"
+    yield "time_embedding.linear_1", ("time_embedding", "linear_1"), "linear"
+    yield "time_embedding.linear_2", ("time_embedding", "linear_2"), "linear"
+    if cfg.temporal_transformer:
+        yield "frame_embedding.linear_1", ("frame_embedding", "linear_1"), "linear"
+        yield "frame_embedding.linear_2", ("frame_embedding", "linear_2"), "linear"
+    if cfg.need_transformer_in and cfg.temporal_transformer:
+        yield from _temporal_attn_entries("transformer_in", ("transformer_in",))
+    ip = cfg.ip_adapter_cross_attn
+    for i, btype in enumerate(cfg.down_block_types):
+        base = f"down_blocks.{i}"
+        for j in range(cfg.layers_per_block):
+            path = ("down_blocks", i, "layers", j)
+            yield from _resnet_entries(f"{base}.resnets.{j}", (*path, "resnet"))
+            if cfg.temporal_conv:
+                yield from _temporal_conv_entries(
+                    f"{base}.temp_convs.{j}", (*path, "temp_conv")
+                )
+            if "CrossAttn" in btype:
+                yield from _spatial_attn_entries(
+                    f"{base}.attentions.{j}", (*path, "attn"), ip
+                )
+            if cfg.temporal_transformer:
+                yield from _temporal_attn_entries(
+                    f"{base}.temp_attentions.{j}", (*path, "temp_attn")
+                )
+        if i < len(cfg.down_block_types) - 1:
+            yield (
+                f"{base}.downsamplers.0.conv",
+                ("down_blocks", i, "downsample", "conv"),
+                "conv2d",
+            )
+        if cfg.need_refer_emb:
+            n_fuse = cfg.layers_per_block + (
+                1 if i < len(cfg.down_block_types) - 1 else 0
+            )
+            for j in range(n_fuse):
+                yield from _attn_entries(
+                    f"{base}.refer_emb_attns.{j}",
+                    ("down_blocks", i, "refer_emb_attns", j),
+                )
+    if cfg.need_refer_emb:
+        yield from _attn_entries(
+            "first_refer_emb_attns", ("first_refer_emb_attns",)
+        )
+        yield from _attn_entries(
+            "mid_block_refer_emb_attns", ("mid_block_refer_emb_attns",)
+        )
+    # mid
+    yield from _resnet_entries("mid_block.resnets.0", ("mid_block", "resnet_0"))
+    yield from _resnet_entries("mid_block.resnets.1", ("mid_block", "resnet_1"))
+    if cfg.temporal_conv:
+        yield from _temporal_conv_entries(
+            "mid_block.temp_convs.0", ("mid_block", "temp_conv_0")
+        )
+        yield from _temporal_conv_entries(
+            "mid_block.temp_convs.1", ("mid_block", "temp_conv_1")
+        )
+    yield from _spatial_attn_entries(
+        "mid_block.attentions.0", ("mid_block", "attn"), ip
+    )
+    if cfg.temporal_transformer:
+        yield from _temporal_attn_entries(
+            "mid_block.temp_attentions.0", ("mid_block", "temp_attn")
+        )
+    for i, btype in enumerate(cfg.up_block_types):
+        base = f"up_blocks.{i}"
+        for j in range(cfg.layers_per_block + 1):
+            path = ("up_blocks", i, "layers", j)
+            yield from _resnet_entries(f"{base}.resnets.{j}", (*path, "resnet"))
+            if cfg.temporal_conv:
+                yield from _temporal_conv_entries(
+                    f"{base}.temp_convs.{j}", (*path, "temp_conv")
+                )
+            if "CrossAttn" in btype:
+                yield from _spatial_attn_entries(
+                    f"{base}.attentions.{j}", (*path, "attn"), ip
+                )
+            if cfg.temporal_transformer:
+                yield from _temporal_attn_entries(
+                    f"{base}.temp_attentions.{j}", (*path, "temp_attn")
+                )
+        if i < len(cfg.up_block_types) - 1:
+            yield (
+                f"{base}.upsamplers.0.conv",
+                ("up_blocks", i, "upsample", "conv"),
+                "conv2d",
+            )
+    yield "conv_norm_out", ("conv_norm_out",), "norm"
+    yield "conv_out", ("conv_out",), "conv2d"
+
+
+def vae_key_map(cfg: VAEConfig) -> Iterator[KeyEntry]:
+    def attn(tk, path):
+        # new diffusers names; legacy (query/key/value/proj_attn) handled in
+        # _convert via aliases
+        yield f"{tk}.group_norm", (*path, "norm"), "norm"
+        yield f"{tk}.to_q", (*path, "to_q"), "linear"
+        yield f"{tk}.to_k", (*path, "to_k"), "linear"
+        yield f"{tk}.to_v", (*path, "to_v"), "linear"
+        yield f"{tk}.to_out.0", (*path, "to_out"), "linear"
+
+    yield "encoder.conv_in", ("encoder", "conv_in"), "conv2d"
+    for i in range(len(cfg.block_out_channels)):
+        for j in range(cfg.layers_per_block):
+            yield from _resnet_entries(
+                f"encoder.down_blocks.{i}.resnets.{j}",
+                ("encoder", "down", i, "layers", j),
+                temb=False,
+            )
+        if i < len(cfg.block_out_channels) - 1:
+            yield (
+                f"encoder.down_blocks.{i}.downsamplers.0.conv",
+                ("encoder", "down", i, "downsample"),
+                "conv2d",
+            )
+    yield from _resnet_entries(
+        "encoder.mid_block.resnets.0", ("encoder", "mid", "resnet_0"), temb=False
+    )
+    yield from attn("encoder.mid_block.attentions.0", ("encoder", "mid", "attn"))
+    yield from _resnet_entries(
+        "encoder.mid_block.resnets.1", ("encoder", "mid", "resnet_1"), temb=False
+    )
+    yield "encoder.conv_norm_out", ("encoder", "norm_out"), "norm"
+    yield "encoder.conv_out", ("encoder", "conv_out"), "conv2d"
+    yield "quant_conv", ("quant_conv",), "conv2d"
+    yield "post_quant_conv", ("post_quant_conv",), "conv2d"
+    yield "decoder.conv_in", ("decoder", "conv_in"), "conv2d"
+    yield from _resnet_entries(
+        "decoder.mid_block.resnets.0", ("decoder", "mid", "resnet_0"), temb=False
+    )
+    yield from attn("decoder.mid_block.attentions.0", ("decoder", "mid", "attn"))
+    yield from _resnet_entries(
+        "decoder.mid_block.resnets.1", ("decoder", "mid", "resnet_1"), temb=False
+    )
+    for i in range(len(cfg.block_out_channels)):
+        for j in range(cfg.layers_per_block + 1):
+            yield from _resnet_entries(
+                f"decoder.up_blocks.{i}.resnets.{j}",
+                ("decoder", "up", i, "layers", j),
+                temb=False,
+            )
+        if i < len(cfg.block_out_channels) - 1:
+            yield (
+                f"decoder.up_blocks.{i}.upsamplers.0.conv",
+                ("decoder", "up", i, "upsample"),
+                "conv2d",
+            )
+    yield "decoder.conv_norm_out", ("decoder", "norm_out"), "norm"
+    yield "decoder.conv_out", ("decoder", "conv_out"), "conv2d"
+
+
+def clip_text_key_map(cfg: CLIPTextConfig) -> Iterator[KeyEntry]:
+    yield (
+        "text_model.embeddings.token_embedding",
+        ("token_embedding",),
+        "embedding",
+    )
+    yield (
+        "text_model.embeddings.position_embedding",
+        ("position_embedding",),
+        "embedding",
+    )
+    for i in range(cfg.num_layers):
+        pre = f"text_model.encoder.layers.{i}"
+        path = ("layers", i)
+        yield f"{pre}.layer_norm1", (*path, "layer_norm1"), "norm"
+        for n in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            yield f"{pre}.self_attn.{n}", (*path, n), "linear"
+        yield f"{pre}.layer_norm2", (*path, "layer_norm2"), "norm"
+        yield f"{pre}.mlp.fc1", (*path, "fc1"), "linear"
+        yield f"{pre}.mlp.fc2", (*path, "fc2"), "linear"
+    yield "text_model.final_layer_norm", ("final_layer_norm",), "norm"
+
+
+# ---------------------------------------------------------------------------
+# application
+
+_VAE_LEGACY_ALIASES = {
+    ".query": ".to_q",
+    ".key": ".to_k",
+    ".value": ".to_v",
+    ".proj_attn": ".to_out.0",
+}
+
+
+def _get(tree, path):
+    for k in path:
+        if isinstance(tree, (list, tuple)):
+            tree = tree[k]
+        else:
+            if k not in tree:
+                return None
+            tree = tree[k]
+    return tree
+
+
+def _set_leaf(tree, path, leaf_key, value):
+    node = _get(tree, path)
+    if node is None:
+        return False
+    node[leaf_key] = value
+    return True
+
+
+def _transform(kind: str, suffix: str, arr: np.ndarray) -> Tuple[str, np.ndarray]:
+    """Return (leaf name, converted array)."""
+    if kind == "linear":
+        if suffix == "weight":
+            return "kernel", np.ascontiguousarray(arr.T)
+        return "bias", arr
+    if kind == "conv2d":
+        if suffix == "weight":
+            return "kernel", np.ascontiguousarray(arr.transpose(2, 3, 1, 0))
+        return "bias", arr
+    if kind == "conv3d_t":
+        if suffix == "weight":
+            # (O, I, kT, 1, 1) -> (kT, 1, I, O)
+            return "kernel", np.ascontiguousarray(arr[:, :, :, :, 0].transpose(2, 3, 1, 0))
+        return "bias", arr
+    if kind == "norm":
+        return ("scale" if suffix == "weight" else "bias"), arr
+    raise ValueError(kind)
+
+
+def apply_state_dict(
+    params,
+    key_map: List[KeyEntry],
+    state_dict: Dict[str, np.ndarray],
+    aliases: Optional[Dict[str, str]] = None,
+) -> Tuple[int, List[str]]:
+    """Write torch tensors into the params tree in place.
+
+    Returns (num_assigned, leftover_torch_keys).
+    """
+    sd = dict(state_dict)
+    if aliases:
+        for k in list(sd):
+            nk = k
+            for old, new in aliases.items():
+                nk = nk.replace(old, new)
+            if nk != k:
+                sd[nk] = sd.pop(k)
+    consumed = set()
+    n = 0
+    for tk, path, kind in key_map:
+        if kind in ("raw", "embedding"):
+            key = tk if kind == "raw" else f"{tk}.weight"
+            if key in sd:
+                node = _get(params, path[:-1])
+                if node is not None and path[-1] in node:
+                    node[path[-1]] = np.asarray(sd[key])
+                    consumed.add(key)
+                    n += 1
+            continue
+        for suffix in ("weight", "bias"):
+            key = f"{tk}.{suffix}"
+            if key not in sd:
+                continue
+            leaf, arr = _transform(kind, suffix, np.asarray(sd[key]))
+            if _set_leaf(params, path, leaf, arr):
+                consumed.add(key)
+                n += 1
+    leftover = [k for k in sd if k not in consumed]
+    return n, leftover
+
+
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(path, framework="numpy") as f:
+        for k in f.keys():
+            out[k] = f.get_tensor(k)
+    return out
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.float().numpy() for k, v in sd.items()}
+
+
+def convert_unet3d(params, cfg: UNet3DConfig, state_dict) -> Tuple[int, List[str]]:
+    return apply_state_dict(params, list(unet3d_key_map(cfg)), state_dict)
+
+
+def convert_vae(params, cfg: VAEConfig, state_dict) -> Tuple[int, List[str]]:
+    return apply_state_dict(
+        params, list(vae_key_map(cfg)), state_dict, aliases=_VAE_LEGACY_ALIASES
+    )
+
+
+def convert_clip_text(params, cfg: CLIPTextConfig, state_dict) -> Tuple[int, List[str]]:
+    return apply_state_dict(params, list(clip_text_key_map(cfg)), state_dict)
+
+
+def export_unet3d(params, cfg: UNet3DConfig) -> Dict[str, np.ndarray]:
+    """Inverse of convert_unet3d (for parity tests and interop)."""
+    out: Dict[str, np.ndarray] = {}
+    for tk, path, kind in unet3d_key_map(cfg):
+        node = _get(params, path)
+        if node is None:
+            continue
+        if kind == "raw":
+            out[tk] = np.asarray(node)
+            continue
+        if kind == "embedding":
+            out[f"{tk}.weight"] = np.asarray(node)
+            continue
+        if kind == "linear" and "kernel" in node:
+            out[f"{tk}.weight"] = np.asarray(node["kernel"]).T
+            if "bias" in node:
+                out[f"{tk}.bias"] = np.asarray(node["bias"])
+        elif kind == "conv2d" and "kernel" in node:
+            out[f"{tk}.weight"] = np.asarray(node["kernel"]).transpose(3, 2, 0, 1)
+            if "bias" in node:
+                out[f"{tk}.bias"] = np.asarray(node["bias"])
+        elif kind == "conv3d_t" and "kernel" in node:
+            out[f"{tk}.weight"] = np.asarray(node["kernel"]).transpose(3, 2, 0, 1)[
+                :, :, :, :, None
+            ]
+            if "bias" in node:
+                out[f"{tk}.bias"] = np.asarray(node["bias"])
+        elif kind == "norm" and "scale" in node:
+            out[f"{tk}.weight"] = np.asarray(node["scale"])
+            out[f"{tk}.bias"] = np.asarray(node["bias"])
+    return out
+
+
+def merge_sd_base_weights(
+    unet_params, cfg: UNet3DConfig, sd_unet_state_dict
+) -> Tuple[int, List[str]]:
+    """Overwrite the spatial (2D) weights with a T2I base model's UNet weights,
+    keeping temporal weights (reference update_unet_with_sd,
+    unet_loader.py:41-80). The 2D state dict simply lacks temporal keys, so a
+    plain tolerant apply does exactly this."""
+    return convert_unet3d(unet_params, cfg, sd_unet_state_dict)

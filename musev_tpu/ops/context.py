@@ -95,7 +95,7 @@ def drop_last_repeat_context(contexts: List[List[int]]) -> List[List[int]]:
     return contexts
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class WindowPlan:
     """Static VCPD plan for one denoise step.
 
@@ -105,11 +105,24 @@ class WindowPlan:
                the divisor of the overlap-average reduction
                (pipeline_controlnet.py:2076-2079).
       num_frames: T, the generated-video length (excludes condition frames).
+
+    Hashable by content so it can be a jit static argument.
     """
 
     windows: np.ndarray
     counts: np.ndarray
     num_frames: int
+
+    def __hash__(self):
+        return hash((self.num_frames, self.windows.tobytes()))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, WindowPlan)
+            and self.num_frames == other.num_frames
+            and np.array_equal(self.windows, other.windows)
+            and np.array_equal(self.counts, other.counts)
+        )
 
     @property
     def n_windows(self) -> int:

@@ -31,9 +31,9 @@ from ..ops.context import WindowPlan
 from ..schedulers.euler_discrete import EulerDiscreteScheduler
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class DenoiseSpec:
-    """Static configuration of one VCPD denoise run."""
+    """Static configuration of one VCPD denoise run (jit static argument)."""
 
     unet_cfg: UNet3DConfig
     scheduler: EulerDiscreteScheduler
@@ -45,7 +45,23 @@ class DenoiseSpec:
     noise_type: str = "video_fusion"
     motion_speed: float = 8.0
     ip_adapter_scale: float = 1.0
+    skip_temporal: bool = False
     dp_axis: Optional[str] = None  # mesh axis to shard the window batch over
+
+    def __hash__(self):
+        return hash(
+            (self.unet_cfg, self.scheduler, self.plan, self.guidance.tobytes(),
+             self.n_vision_cond, self.do_cfg, self.w_ind_noise, self.noise_type,
+             self.motion_speed, self.ip_adapter_scale, self.skip_temporal,
+             self.dp_axis)
+        )
+
+    def __eq__(self, other):
+        if not isinstance(other, DenoiseSpec):
+            return False
+        return hash(self) == hash(other) and np.array_equal(
+            self.guidance, other.guidance
+        )
 
 
 def _shard_batch(x: jnp.ndarray, spec: DenoiseSpec) -> jnp.ndarray:
@@ -67,7 +83,11 @@ def predict_noise(
     text_uc: Optional[jnp.ndarray],
     text_c: jnp.ndarray,
     condition_latents: Optional[jnp.ndarray] = None,
-    refer_kwargs: Optional[dict] = None,
+    vision_clip_emb: Optional[jnp.ndarray] = None,
+    refer_embs=None,
+    mid_refer_emb=None,
+    refer_self_attn_embs=None,
+    controlnet_fn=None,
 ) -> jnp.ndarray:
     """One full VCPD noise prediction over all windows.
 
@@ -90,7 +110,16 @@ def predict_noise(
     model_in = _shard_batch(model_in, spec)
 
     def tile_rows(e):
-        # (B, ...) -> (reps * B * n_win, ...) matching [uncond; cond] halves
+        """Align a conditioning tensor to the window-folded CFG batch.
+
+        (B, ...) -> replicated to both CFG halves; (2B, ...) -> halves kept
+        (pre-doubled inputs like IP-Adapter's uncond=proj(zeros), reference
+        pipeline_controlnet.py:736-774).
+        """
+        if spec.do_cfg and e.shape[0] == 2 * b:
+            e = e.reshape(2, b, *e.shape[1:])
+            e = jnp.repeat(e, n_win, axis=1)
+            return e.reshape(2 * b * n_win, *e.shape[3:])
         e = jnp.repeat(e, n_win, axis=0)
         return jnp.concatenate([e] * reps, axis=0)
 
@@ -111,7 +140,12 @@ def predict_noise(
         cond_index = tuple(range(n_vc))
         gen_index = tuple(range(n_vc, n_vc + wlen))
 
-    extra = dict(refer_kwargs or {})
+    def tile_opt(e):
+        return tile_rows(e) if e is not None else None
+
+    cn_down = cn_mid = None
+    if controlnet_fn is not None:
+        cn_down, cn_mid = controlnet_fn(model_in, step_index)
     out = unet3d_apply(
         params,
         spec.unet_cfg,
@@ -124,7 +158,16 @@ def predict_noise(
         do_cfg=spec.do_cfg,
         motion_speed=spec.motion_speed,
         ip_adapter_scale=spec.ip_adapter_scale,
-        **extra,
+        skip_temporal=spec.skip_temporal,
+        vision_clip_emb=tile_opt(vision_clip_emb),
+        down_block_refer_embs=[tile_opt(e) for e in refer_embs]
+        if refer_embs is not None
+        else None,
+        mid_block_refer_emb=tile_opt(mid_refer_emb),
+        refer_self_attn_embs=refer_self_attn_embs,
+        refer_self_attn_mode="read" if refer_self_attn_embs is not None else None,
+        controlnet_down_residuals=cn_down,
+        controlnet_mid_residual=cn_mid,
     )
     if cond is not None:
         out = jnp.take(out, jnp.asarray(gen_index, jnp.int32), axis=1)
@@ -152,7 +195,11 @@ def denoise_loop(
     text_c: jnp.ndarray,
     key: jax.Array,
     condition_latents: Optional[jnp.ndarray] = None,
-    refer_kwargs: Optional[dict] = None,
+    vision_clip_emb: Optional[jnp.ndarray] = None,
+    refer_embs=None,
+    mid_refer_emb=None,
+    refer_self_attn_embs=None,
+    controlnet_fn=None,
 ) -> jnp.ndarray:
     """Scan the denoise step over all timesteps. Returns final latents."""
     num_steps = spec.scheduler.num_inference_steps
@@ -161,7 +208,11 @@ def denoise_loop(
         lat, k = carry
         k, sub = jax.random.split(k)
         noise_pred = predict_noise(
-            params, spec, lat, i, text_uc, text_c, condition_latents, refer_kwargs
+            params, spec, lat, i, text_uc, text_c, condition_latents,
+            vision_clip_emb=vision_clip_emb, refer_embs=refer_embs,
+            mid_refer_emb=mid_refer_emb,
+            refer_self_attn_embs=refer_self_attn_embs,
+            controlnet_fn=controlnet_fn,
         )
         prev, _ = spec.scheduler.step(
             noise_pred,

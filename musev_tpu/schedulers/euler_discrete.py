@@ -25,9 +25,12 @@ from ..ops.noise import make_noise
 from .base import ScheduleConfig, spaced_timesteps
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class EulerDiscreteScheduler:
-    """Holds the precomputed sigma schedule for a fixed step count."""
+    """Holds the precomputed sigma schedule for a fixed step count.
+
+    Content-hashable so denoise specs can be jit static arguments.
+    """
 
     config: ScheduleConfig
     num_inference_steps: int
@@ -37,6 +40,23 @@ class EulerDiscreteScheduler:
     s_tmin: float = 0.0
     s_tmax: float = float("inf")
     s_noise: float = 1.0
+
+    def __hash__(self):
+        return hash(
+            (self.config, self.num_inference_steps, self.sigmas.tobytes(),
+             self.s_churn, self.s_tmin, self.s_tmax, self.s_noise)
+        )
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, EulerDiscreteScheduler)
+            and self.config == other.config
+            and self.num_inference_steps == other.num_inference_steps
+            and np.array_equal(self.timesteps, other.timesteps)
+            and np.array_equal(self.sigmas, other.sigmas)
+            and (self.s_churn, self.s_tmin, self.s_tmax, self.s_noise)
+            == (other.s_churn, other.s_tmin, other.s_tmax, other.s_noise)
+        )
 
     @classmethod
     def create(

@@ -1,0 +1,120 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from musev_tpu.models.clip_text import CLIPTextConfig, clip_text_encode, init_clip_text
+from musev_tpu.models.vae import (
+    VAEConfig,
+    init_vae,
+    vae_decode,
+    vae_decode_video,
+    vae_encode,
+    vae_encode_video,
+)
+
+TINY_VAE = VAEConfig(block_out_channels=(16, 16, 32, 32), layers_per_block=1,
+                     norm_num_groups=8)
+
+
+def test_vae_shapes():
+    params = init_vae(jax.random.PRNGKey(0), TINY_VAE)
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    lat = vae_encode(params, TINY_VAE, img)
+    assert lat.shape == (2, 4, 4, 4)
+    out = vae_decode(params, TINY_VAE, lat)
+    assert out.shape == (2, 32, 32, 3)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_vae_video_segmented_equals_full():
+    params = init_vae(jax.random.PRNGKey(0), TINY_VAE)
+    vid = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 32, 32, 3))
+    lat = vae_encode_video(params, TINY_VAE, vid, segment=2)
+    assert lat.shape == (1, 5, 4, 4, 4)
+    lat_full = vae_encode_video(params, TINY_VAE, vid, segment=100)
+    np.testing.assert_allclose(np.asarray(lat), np.asarray(lat_full), atol=1e-5)
+    dec = vae_decode_video(params, TINY_VAE, lat, segment=2)
+    assert dec.shape == (1, 5, 32, 32, 3)
+
+
+def test_clip_text_shapes():
+    cfg = CLIPTextConfig(vocab_size=100, hidden_size=32, num_layers=2,
+                         num_heads=4, intermediate_size=64)
+    params = init_clip_text(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray([[1, 5, 7, 2] + [0] * 73], jnp.int32)
+    out = clip_text_encode(params, cfg, ids)
+    assert out.shape == (1, 77, 32)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_clip_causal_mask():
+    """A token change at position j must not affect positions < j."""
+    cfg = CLIPTextConfig(vocab_size=100, hidden_size=32, num_layers=2,
+                         num_heads=4, intermediate_size=64)
+    params = init_clip_text(jax.random.PRNGKey(0), cfg)
+    ids_a = jnp.asarray([[1, 5, 7, 2, 9, 9, 9, 9]], jnp.int32)
+    ids_b = ids_a.at[0, 4].set(42)
+    a = clip_text_encode(params, cfg, ids_a)
+    b = clip_text_encode(params, cfg, ids_b)
+    np.testing.assert_allclose(np.asarray(a[:, :4]), np.asarray(b[:, :4]), atol=1e-5)
+    assert np.abs(np.asarray(a[:, 4:]) - np.asarray(b[:, 4:])).max() > 1e-4
+
+
+def test_clip_golden_vs_transformers():
+    """Golden parity vs the torch CLIPTextModel on random weights."""
+    torch = pytest.importorskip("torch")
+    from transformers import CLIPTextConfig as HFConfig, CLIPTextModel
+
+    hf_cfg = HFConfig(
+        vocab_size=99, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=77, hidden_act="quick_gelu",
+    )
+    torch.manual_seed(0)
+    hf = CLIPTextModel(hf_cfg).eval()
+
+    cfg = CLIPTextConfig(vocab_size=99, hidden_size=32, num_layers=2,
+                         num_heads=4, intermediate_size=64)
+    sd = hf.state_dict()
+
+    def t2j(name):
+        return jnp.asarray(sd[name].numpy())
+
+    params = {
+        "token_embedding": t2j("text_model.embeddings.token_embedding.weight"),
+        "position_embedding": t2j("text_model.embeddings.position_embedding.weight"),
+        "final_layer_norm": {
+            "scale": t2j("text_model.final_layer_norm.weight"),
+            "bias": t2j("text_model.final_layer_norm.bias"),
+        },
+        "layers": [],
+    }
+    for i in range(2):
+        pre = f"text_model.encoder.layers.{i}"
+        params["layers"].append(
+            {
+                "layer_norm1": {"scale": t2j(f"{pre}.layer_norm1.weight"),
+                                "bias": t2j(f"{pre}.layer_norm1.bias")},
+                "q_proj": {"kernel": t2j(f"{pre}.self_attn.q_proj.weight").T,
+                           "bias": t2j(f"{pre}.self_attn.q_proj.bias")},
+                "k_proj": {"kernel": t2j(f"{pre}.self_attn.k_proj.weight").T,
+                           "bias": t2j(f"{pre}.self_attn.k_proj.bias")},
+                "v_proj": {"kernel": t2j(f"{pre}.self_attn.v_proj.weight").T,
+                           "bias": t2j(f"{pre}.self_attn.v_proj.bias")},
+                "out_proj": {"kernel": t2j(f"{pre}.self_attn.out_proj.weight").T,
+                             "bias": t2j(f"{pre}.self_attn.out_proj.bias")},
+                "layer_norm2": {"scale": t2j(f"{pre}.layer_norm2.weight"),
+                                "bias": t2j(f"{pre}.layer_norm2.bias")},
+                "fc1": {"kernel": t2j(f"{pre}.mlp.fc1.weight").T,
+                        "bias": t2j(f"{pre}.mlp.fc1.bias")},
+                "fc2": {"kernel": t2j(f"{pre}.mlp.fc2.weight").T,
+                        "bias": t2j(f"{pre}.mlp.fc2.bias")},
+            }
+        )
+
+    ids = np.array([[1, 5, 7, 2, 9, 11, 3, 0, 0, 0]], dtype=np.int64)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.from_numpy(ids)).last_hidden_state.numpy()
+    out = np.asarray(clip_text_encode(params, cfg, jnp.asarray(ids, jnp.int32)))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
