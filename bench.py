@@ -1,0 +1,117 @@
+"""Headline benchmark: frames/sec/chip at 576^2, 24-frame VCPD window.
+
+Runs the flagship musev UNet (SD1.5-scale, bf16) end to end for one second of
+24 fps 576x576 video: 10 denoise steps (the reference default
+video_num_inference_steps) over a single 24-frame window with CFG and one
+vision-condition frame, plus the segmented VAE decode.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": frames_per_sec_per_chip, "unit": "frames/s/chip",
+   "vs_baseline": <north-star 3s-per-1s-video ratio>, ...}
+
+North star (BASELINE.md): 1 s of video in <= 3 s wall-clock on v5e-8; this
+single-chip run reports chip-normalized throughput and the e2e ratio.
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=24)
+    ap.add_argument("--size", type=int, default=576)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--tiny", action="store_true", help="tiny model smoke run")
+    ap.add_argument("--no-decode", action="store_true")
+    args = ap.parse_args()
+
+    from musev_tpu.models.init_util import fast_init
+    from musev_tpu.models.unet3d import UNet3DConfig, init_unet3d, musev_config
+    from musev_tpu.models.vae import VAEConfig, init_vae, vae_decode_video
+    from musev_tpu.ops.context import make_window_plan
+    from musev_tpu.ops.guidance import guidance_schedule
+    from musev_tpu.pipelines.denoiser import denoise_loop, DenoiseSpec
+    from musev_tpu.schedulers.euler_discrete import EulerDiscreteScheduler
+
+    dtype = jnp.bfloat16
+    if args.tiny:
+        cfg = UNet3DConfig(block_out_channels=(16, 16, 32, 32), layers_per_block=1,
+                           cross_attention_dim=16, attention_heads=4,
+                           norm_num_groups=8)
+        vae_cfg = VAEConfig(block_out_channels=(16, 16, 32, 32),
+                            layers_per_block=1, norm_num_groups=8)
+        text_dim = 16
+    else:
+        cfg = musev_config()
+        vae_cfg = VAEConfig()
+        text_dim = cfg.cross_attention_dim
+
+    key = jax.random.PRNGKey(0)
+    params = fast_init(init_unet3d, cfg, dtype=dtype)
+    vae_params = fast_init(init_vae, vae_cfg, dtype=dtype, seed=1)
+
+    t = args.frames
+    hw = args.size // 8
+    spec = DenoiseSpec(
+        unet_cfg=cfg,
+        scheduler=EulerDiscreteScheduler.create(args.steps),
+        plan=make_window_plan(t, t, context_overlap=4),
+        guidance=guidance_schedule(3.5, args.steps),
+        n_vision_cond=1,
+        do_cfg=True,
+    )
+    lat = jax.random.normal(jax.random.fold_in(key, 2), (1, t, hw, hw, 4), dtype)
+    cond = jax.random.normal(jax.random.fold_in(key, 3), (1, 1, hw, hw, 4), dtype)
+    tu = jax.random.normal(jax.random.fold_in(key, 4), (1, 77, text_dim), dtype)
+    tc = jax.random.normal(jax.random.fold_in(key, 5), (1, 77, text_dim), dtype)
+
+    fn = jax.jit(denoise_loop, static_argnames=("spec", "controlnet_fn"))
+    # warmup/compile
+    out = fn(params, spec, lat, tu, tc, key, condition_latents=cond)
+    jax.block_until_ready(out)
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        out = fn(params, spec, lat, tu, tc, key, condition_latents=cond)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    denoise_s = min(times)
+
+    decode_s = 0.0
+    if not args.no_decode:
+        dec = lambda l: vae_decode_video(vae_params, vae_cfg, l, segment=8)
+        video = dec(out)
+        jax.block_until_ready(video)
+        t0 = time.perf_counter()
+        video = dec(out)
+        jax.block_until_ready(video)
+        decode_s = time.perf_counter() - t0
+
+    e2e = denoise_s + decode_s
+    fps_chip = args.frames / e2e
+    result = {
+        "metric": "frames/sec/chip at 576^2 24-frame window; e2e sec per 1s of video",
+        "value": round(fps_chip, 3),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(3.0 / e2e, 3),
+        "e2e_seconds_per_1s_video": round(e2e, 3),
+        "denoise_seconds": round(denoise_s, 3),
+        "decode_seconds": round(decode_s, 3),
+        "config": {
+            "frames": args.frames, "size": args.size, "steps": args.steps,
+            "tiny": bool(args.tiny), "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

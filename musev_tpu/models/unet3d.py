@@ -132,11 +132,13 @@ def init_unet3d(key, cfg: UNet3DConfig, dtype=jnp.float32) -> Params:
             nxt(), cfg.block_out_channels[-1], dtype
         )
 
-    def temporal_pair(c):
+    def temporal_pair(c, with_attn=True):
+        # plain DownBlock3D/UpBlock3D carry temp_convs but no temporal
+        # transformers (unet_3d_blocks.py:775-984, :1254+)
         sub = {}
         if cfg.temporal_conv:
             sub["temp_conv"] = blk.init_temporal_conv(nxt(), c, dtype=dtype)
-        if cfg.temporal_transformer:
+        if cfg.temporal_transformer and with_attn:
             sub["temp_attn"] = blk.init_temporal_transformer(
                 nxt(), c, cfg.attention_heads, cfg.femb_dim, dtype=dtype
             )
@@ -155,7 +157,7 @@ def init_unet3d(key, cfg: UNet3DConfig, dtype=jnp.float32) -> Params:
                 "resnet": blk.init_resnet_block(
                     nxt(), in_c if j == 0 else out_c, out_c, cfg.temb_dim, dtype
                 ),
-                **temporal_pair(out_c),
+                **temporal_pair(out_c, with_attn=_is_cross(btype)),
             }
             if _is_cross(btype):
                 layer["attn"] = blk.init_spatial_transformer(
@@ -210,7 +212,7 @@ def init_unet3d(key, cfg: UNet3DConfig, dtype=jnp.float32) -> Params:
             res_in = (prev_out if j == 0 else out_c) + skip_c
             layer = {
                 "resnet": blk.init_resnet_block(nxt(), res_in, out_c, cfg.temb_dim, dtype),
-                **temporal_pair(out_c),
+                **temporal_pair(out_c, with_attn=_is_cross(btype)),
             }
             if _is_cross(btype):
                 layer["attn"] = blk.init_spatial_transformer(

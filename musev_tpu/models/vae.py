@@ -199,6 +199,19 @@ def vae_decode(params: Params, cfg: VAEConfig, latents: jnp.ndarray) -> jnp.ndar
     return conv2d(dec["conv_out"], x, padding=1)
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("cfg",))
+def _decode_jit(params, cfg: VAEConfig, x):
+    return vae_decode(params, cfg, x)
+
+
+@_partial(jax.jit, static_argnames=("cfg",))
+def _encode_jit(params, cfg: VAEConfig, x):
+    return vae_encode(params, cfg, x)
+
+
 def vae_decode_video(
     params: Params,
     cfg: VAEConfig,
@@ -210,9 +223,8 @@ def vae_decode_video(
     b, t, h, w, c = latents.shape
     flat = latents.reshape(b * t, h, w, c)
     outs = []
-    decode = jax.jit(lambda p, x: vae_decode(p, cfg, x))
     for start in range(0, b * t, segment):
-        outs.append(decode(params, flat[start : start + segment]))
+        outs.append(_decode_jit(params, cfg, flat[start : start + segment]))
     out = jnp.concatenate(outs, axis=0)
     return out.reshape(b, t, *out.shape[1:])
 
@@ -224,8 +236,7 @@ def vae_encode_video(
     b, t = frames.shape[:2]
     flat = frames.reshape(b * t, *frames.shape[2:])
     outs = []
-    encode = jax.jit(lambda p, x: vae_encode(p, cfg, x))
     for start in range(0, b * t, segment):
-        outs.append(encode(params, flat[start : start + segment]))
+        outs.append(_encode_jit(params, cfg, flat[start : start + segment]))
     out = jnp.concatenate(outs, axis=0)
     return out.reshape(b, t, *out.shape[1:])

@@ -1,0 +1,158 @@
+"""Pallas TPU flash attention (online-softmax, O(S) memory).
+
+Replaces xformers ``memory_efficient_attention`` at every spatial attention
+site (SURVEY §2.10 N1). The concat-KV ReferenceOnly and dual-KV IP-Adapter
+variants are expressed at the caller by concatenating KV token sets — this
+kernel only needs plain (optionally length-masked) attention, so one kernel
+serves all three.
+
+Design:
+  * grid (batch*heads, q_blocks, kv_blocks), kv innermost; running max/sum
+    and the output accumulator live in VMEM scratch across kv iterations
+  * logits and softmax in fp32 on the MXU (preferred_element_type), PV
+    product accumulated in fp32, cast on the final store
+  * head_dim is zero-padded to a lane multiple (128) in the wrapper; q/kv
+    sequence lengths are block-padded with kv masking (q padding rows are
+    sliced away after)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _kernel(
+    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, sk, block_kv
+):
+    i_kv = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+
+    @pl.when(i_kv == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr[:], -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr[:])
+        acc_scr[:] = jnp.zeros_like(acc_scr[:])
+
+    q = q_ref[0]  # (bq, d)
+    k = k_ref[0]  # (bkv, d)
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale
+    # mask kv positions beyond the true length
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i_kv * block_kv
+    s = jnp.where(col < sk, s, -jnp.inf)
+
+    m_prev = m_scr[:, 0:1]  # (bq, 1)
+    l_prev = l_scr[:, 0:1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)  # (bq, 1)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(i_kv == n_kv - 1)
+    def _finalize():
+        l = l_scr[:, 0:1]
+        safe_l = jnp.where(l > 0, l, 1.0)
+        o_ref[0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv"))
+def _flash_bh(q, k, v, scale, block_q, block_kv):
+    """q (BH, Sq, Dp), k/v (BH, Sk, Dp) — Dp lane-aligned, Sq/Sk arbitrary."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    sq_p = _cdiv(sq, block_q) * block_q
+    sk_p = _cdiv(sk, block_kv) * block_kv
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0)))
+    if sk_p != sk:
+        k = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0)))
+
+    grid = (bh, sq_p // block_q, sk_p // block_kv)
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, sk=sk, block_kv=block_kv),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, d), lambda b, iq, ik: (b, iq, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_kv, d), lambda b, iq, ik: (b, ik, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_kv, d), lambda b, iq, ik: (b, ik, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda b, iq, ik: (b, iq, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v)
+    return out[:, :sq]
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float = None,
+    block_q: int = 256,
+    block_kv: int = 512,
+) -> jnp.ndarray:
+    """Attention over (B, S, H, D) tensors, matching ops.attention.sdpa."""
+    if jax.default_backend() == "cpu":
+        raise NotImplementedError("pallas flash attention requires TPU")
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    if scale is None:
+        scale = d**-0.5
+    d_p = _cdiv(d, _LANE) * _LANE
+
+    def to_bh(x, s):
+        x = x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+        if d_p != d:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, d_p - d)))
+        return x
+
+    block_q = min(block_q, _cdiv(sq, 8) * 8 if sq < block_q else block_q)
+    block_kv = min(block_kv, _cdiv(sk, 8) * 8 if sk < block_kv else block_kv)
+    out = _flash_bh(
+        to_bh(q, sq), to_bh(k, sk), to_bh(v, sk), float(scale),
+        int(block_q), int(block_kv),
+    )
+    out = out[:, :, :d].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    return out
