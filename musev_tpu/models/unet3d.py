@@ -163,6 +163,7 @@ def init_unet3d(key, cfg: UNet3DConfig, dtype=jnp.float32) -> Params:
                 layer["attn"] = blk.init_spatial_transformer(
                     nxt(), out_c, cfg.cross_attention_dim, dtype,
                     ip_adapter=cfg.ip_adapter_cross_attn,
+                    ip_dim=cfg.ip_adapter_dim,
                 )
             layers.append(layer)
             skip_channels.append(out_c)
@@ -188,6 +189,7 @@ def init_unet3d(key, cfg: UNet3DConfig, dtype=jnp.float32) -> Params:
         "attn": blk.init_spatial_transformer(
             nxt(), mid_c, cfg.cross_attention_dim, dtype,
             ip_adapter=cfg.ip_adapter_cross_attn,
+            ip_dim=cfg.ip_adapter_dim,
         ),
         "resnet_1": blk.init_resnet_block(nxt(), mid_c, mid_c, cfg.temb_dim, dtype),
     }
@@ -218,6 +220,7 @@ def init_unet3d(key, cfg: UNet3DConfig, dtype=jnp.float32) -> Params:
                 layer["attn"] = blk.init_spatial_transformer(
                     nxt(), out_c, cfg.cross_attention_dim, dtype,
                     ip_adapter=cfg.ip_adapter_cross_attn,
+                    ip_dim=cfg.ip_adapter_dim,
                 )
             layers.append(layer)
         block = {"layers": layers}

@@ -330,13 +330,15 @@ def init_spatial_transformer(
     cross_dim: int,
     dtype=jnp.float32,
     ip_adapter: bool = False,
+    ip_dim: int = 768,
 ) -> Params:
     ks = jax.random.split(key, 3)
     return {
         "norm": init_norm(channels),
         "proj_in": init_conv(ks[0], channels, channels, 1, dtype=dtype),
         "block": init_transformer_block(
-            ks[1], channels, cross_dim, dtype=dtype, ip_adapter=ip_adapter
+            ks[1], channels, cross_dim, dtype=dtype, ip_adapter=ip_adapter,
+            ip_dim=ip_dim,
         ),
         "proj_out": init_conv(ks[2], channels, channels, 1, dtype=dtype),
     }

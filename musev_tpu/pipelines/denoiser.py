@@ -164,7 +164,9 @@ def predict_noise(
         if refer_embs is not None
         else None,
         mid_block_refer_emb=tile_opt(mid_refer_emb),
-        refer_self_attn_embs=refer_self_attn_embs,
+        refer_self_attn_embs=[tile_opt(e) for e in refer_self_attn_embs]
+        if refer_self_attn_embs is not None
+        else None,
         refer_self_attn_mode="read" if refer_self_attn_embs is not None else None,
         controlnet_down_residuals=cn_down,
         controlnet_mid_residual=cn_mid,
