@@ -72,7 +72,7 @@ def main():
     tu = jax.random.normal(jax.random.fold_in(key, 4), (1, 77, text_dim), dtype)
     tc = jax.random.normal(jax.random.fold_in(key, 5), (1, 77, text_dim), dtype)
 
-    fn = jax.jit(denoise_loop, static_argnames=("spec", "controlnet_fn"))
+    fn = jax.jit(denoise_loop, static_argnames=("spec",))
     # warmup/compile
     out = fn(params, spec, lat, tu, tc, key, condition_latents=cond)
     jax.block_until_ready(out)

@@ -1,0 +1,149 @@
+"""video2video / pose2video CLI.
+
+TPU-native counterpart of scripts/inference/video2video.py: reads a source
+video (native libav reader), optionally treats it as the control middle
+(``--video_is_middle``), runs the shot-chained VCPD pipeline per window, and
+writes mp4.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from .text2video import _load_image, _round16
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="musev_tpu video2video")
+    p.add_argument("--test_data_path", type=str, required=True)
+    p.add_argument("--output_dir", type=str, default="./output")
+    p.add_argument("--model_name", type=str, default="musev_referencenet_pose")
+    p.add_argument("--unet_checkpoint", type=str, default=None)
+    p.add_argument("--controlnet_checkpoint", type=str, default=None)
+    p.add_argument("--tokenizer_path", type=str, default=None)
+    p.add_argument("--time_size", type=int, default=12)
+    p.add_argument("--fps", type=int, default=12)
+    p.add_argument("--sample_rate", type=int, default=1)
+    p.add_argument("--target_datas", type=str, default="all")
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--video_is_middle", action="store_true")
+    p.add_argument("--need_video2video", action="store_true")
+    p.add_argument("--video_strength", type=float, default=0.8)
+    p.add_argument("--n_vision_condition", type=int, default=1)
+    p.add_argument("--noise_type", type=str, default="video_fusion")
+    p.add_argument("--video_guidance_scale", type=float, default=3.5)
+    p.add_argument("--guidance_scale", type=float, default=7.5)
+    p.add_argument("--video_num_inference_steps", type=int, default=10)
+    p.add_argument("--num_inference_steps", type=int, default=30)
+    p.add_argument("--w_ind_noise", type=float, default=0.5)
+    p.add_argument("--motion_speed", type=float, default=8.0)
+    p.add_argument("--context_frames", type=int, default=12)
+    p.add_argument("--context_overlap", type=int, default=4)
+    p.add_argument("--controlnet_conditioning_scale", type=float, default=1.0)
+    p.add_argument("--negative_prompt", type=str, default="V2")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--scheduler", type=str, default="euler")
+    p.add_argument("--max_frames", type=int, default=None)
+    p.add_argument("--dtype", type=str, default="float32")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax.numpy as jnp
+
+    from ..configs.model_registry import get_model_preset, resolve_negative_prompt
+    from ..configs.tasks import load_tasks
+    from ..io.video import VideoReader, native_available, write_video
+    from ..pipelines.loader import build_models
+    from ..pipelines.pipeline import MusevPipeline
+
+    preset = get_model_preset(
+        args.model_name,
+        unet_checkpoint=args.unet_checkpoint,
+        controlnet_checkpoint=args.controlnet_checkpoint,
+        tokenizer_path=args.tokenizer_path,
+    )
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    models = build_models(preset, dtype=dtype)
+    pipe = MusevPipeline(models, scheduler_name=args.scheduler, dtype=dtype)
+
+    tasks = load_tasks(args.test_data_path)
+    wanted = None if args.target_datas == "all" else set(args.target_datas.split(","))
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    for task in tasks:
+        name = task.get("name", "task")
+        if wanted is not None and name not in wanted:
+            continue
+        video_path = task.get("video_path")
+        if not video_path:
+            continue
+        prompt = task["prompt"]
+        negative = resolve_negative_prompt(
+            task.get("video_negative_prompt", args.negative_prompt)
+        )
+        with VideoReader(video_path) as r:
+            n = int(r.num_frames)
+            if args.max_frames:
+                n = min(n, args.max_frames)
+            frames = r.read(0, n, sample_rate=args.sample_rate)
+        height = _round16(int(task.get("height", args.height or frames.shape[1])))
+        width = _round16(int(task.get("width", args.width or frames.shape[2])))
+        if (height, width) != frames.shape[1:3]:
+            from PIL import Image
+
+            frames = np.stack(
+                [
+                    np.asarray(
+                        Image.fromarray(f).resize((width, height))
+                    )
+                    for f in frames
+                ]
+            )
+        cond_path = task.get("condition_images")
+        cond = _load_image(cond_path, height, width) if cond_path else None
+        refer_path = task.get("refer_image")
+        refer = _load_image(refer_path, height, width)[:, 0] if refer_path else None
+
+        res = pipe.video2video(
+            prompt,
+            frames,
+            negative,
+            video_is_middle=bool(task.get("video_is_middle", args.video_is_middle)),
+            need_video2video=args.need_video2video,
+            video_strength=args.video_strength,
+            condition_images=cond,
+            time_size=args.time_size,
+            n_vision_condition=args.n_vision_condition,
+            height=height,
+            width=width,
+            video_num_inference_steps=args.video_num_inference_steps,
+            num_inference_steps=args.num_inference_steps,
+            video_guidance_scale=args.video_guidance_scale,
+            guidance_scale=args.guidance_scale,
+            context_frames=args.context_frames,
+            context_overlap=args.context_overlap,
+            noise_type=args.noise_type,
+            w_ind_noise=args.w_ind_noise,
+            motion_speed=args.motion_speed,
+            controlnet_conditioning_scale=args.controlnet_conditioning_scale,
+            refer_image=refer,
+            seed=int(task.get("seed", args.seed)),
+        )
+        out_path = os.path.join(
+            args.output_dir,
+            f"{args.model_name}_{name}_w={width}_h={height}"
+            f"_t={args.time_size}_s={args.seed}.mp4",
+        )
+        frames_out = (res.videos[0] * 255).astype(np.uint8)
+        write_video(out_path, frames_out, fps=args.fps)
+        print(f"wrote {out_path} ({frames_out.shape[0]} frames)")
+
+
+if __name__ == "__main__":
+    main()

@@ -39,15 +39,17 @@ def init_image_proj(
     return {
         "proj": init_linear(key, clip_dim, cross_dim * num_tokens, dtype=dtype),
         "norm": init_norm(cross_dim),
-        "_num_tokens": num_tokens,
     }
 
 
 def image_proj(p: Params, image_emb: jnp.ndarray) -> jnp.ndarray:
-    """(B, clip_dim) pooled CLIP embedding -> (B, num_tokens, cross_dim)."""
-    n = p["_num_tokens"]
+    """(B, clip_dim) pooled CLIP embedding -> (B, num_tokens, cross_dim).
+
+    num_tokens is inferred from the param shapes (proj out dim / norm dim) so
+    the params tree stays a pure array pytree."""
+    cross = p["norm"]["scale"].shape[0]
     x = linear(p["proj"], image_emb)
-    x = x.reshape(x.shape[0], n, -1)
+    x = x.reshape(x.shape[0], -1, cross)
     return layer_norm(p["norm"], x)
 
 
@@ -67,14 +69,14 @@ def init_mlp_proj(
         "fc1": init_linear(k1, id_dim, id_dim * 2, dtype=dtype),
         "fc2": init_linear(k2, id_dim * 2, cross_dim * num_tokens, dtype=dtype),
         "norm": init_norm(cross_dim),
-        "_num_tokens": num_tokens,
     }
 
 
 def mlp_proj(p: Params, id_emb: jnp.ndarray) -> jnp.ndarray:
     """(B, id_dim) face embedding -> (B, num_tokens, cross_dim)."""
+    cross = p["norm"]["scale"].shape[0]
     x = jax.nn.gelu(linear(p["fc1"], id_emb))
-    x = linear(p["fc2"], x).reshape(id_emb.shape[0], p["_num_tokens"], -1)
+    x = linear(p["fc2"], x).reshape(id_emb.shape[0], -1, cross)
     return layer_norm(p["norm"], x)
 
 

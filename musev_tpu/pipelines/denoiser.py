@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.unet3d import UNet3DConfig, unet3d_apply
+from ..models.controlnet import ControlNetConfig, controlnet_apply
 from ..ops.context import WindowPlan
 from ..schedulers.euler_discrete import EulerDiscreteScheduler
 
@@ -46,6 +47,8 @@ class DenoiseSpec:
     motion_speed: float = 8.0
     ip_adapter_scale: float = 1.0
     skip_temporal: bool = False
+    controlnet_cfg: Optional["ControlNetConfig"] = None
+    controlnet_scale: float = 1.0
     dp_axis: Optional[str] = None  # mesh axis to shard the window batch over
 
     def __hash__(self):
@@ -53,7 +56,7 @@ class DenoiseSpec:
             (self.unet_cfg, self.scheduler, self.plan, self.guidance.tobytes(),
              self.n_vision_cond, self.do_cfg, self.w_ind_noise, self.noise_type,
              self.motion_speed, self.ip_adapter_scale, self.skip_temporal,
-             self.dp_axis)
+             self.controlnet_cfg, self.controlnet_scale, self.dp_axis)
         )
 
     def __eq__(self, other):
@@ -87,11 +90,14 @@ def predict_noise(
     refer_embs=None,
     mid_refer_emb=None,
     refer_self_attn_embs=None,
-    controlnet_fn=None,
+    controlnet_params=None,
+    control_images=None,
 ) -> jnp.ndarray:
     """One full VCPD noise prediction over all windows.
 
-    latents: (B, T, h, w, C); returns (B, T, h, w, C) CFG-combined noise.
+    latents: (B, T, h, w, C); control_images: (B, n_vc + T, 8h, 8w, 3) in
+    [0, 1] (condition frames' control maps at the head, reference
+    pipeline_controlnet.py:1947-2021). Returns CFG-combined noise (B, T, ...).
     """
     b, t, h, w, c = latents.shape
     plan = spec.plan
@@ -144,8 +150,40 @@ def predict_noise(
         return tile_rows(e) if e is not None else None
 
     cn_down = cn_mid = None
-    if controlnet_fn is not None:
-        cn_down, cn_mid = controlnet_fn(model_in, step_index)
+    if controlnet_params is not None and spec.controlnet_cfg is not None:
+        assert control_images is not None
+        t_step = jnp.asarray(spec.scheduler.timesteps)[step_index]
+        # per-window control frames: [viscond maps; window maps]
+        if n_vc > 0:
+            idx = np.concatenate(
+                [np.tile(np.arange(n_vc), (n_win, 1)), plan.windows + n_vc],
+                axis=1,
+            )
+        else:
+            idx = plan.windows
+        ctrl = jnp.take(control_images, jnp.asarray(idx.reshape(-1)), axis=1)
+        ctrl = ctrl.reshape(b * n_win, n_vc + wlen, *control_images.shape[2:])
+        ctrl = jnp.concatenate([ctrl] * reps, axis=0)
+        # controlnet consumes the spliced (viscond + window) latents
+        if cond is not None:
+            cn_lat = jnp.concatenate([cond.astype(model_in.dtype), model_in], axis=1)
+        else:
+            cn_lat = model_in
+        nf = cn_lat.shape[1]
+        frames = cn_lat.reshape(-1, *cn_lat.shape[2:])
+        ctrl_frames = ctrl.reshape(-1, *ctrl.shape[2:])
+        if spec.do_cfg:
+            text_frames = jnp.concatenate([
+                jnp.repeat(jnp.repeat(text_uc, n_win, axis=0), nf, axis=0),
+                jnp.repeat(jnp.repeat(text_c, n_win, axis=0), nf, axis=0),
+            ])
+        else:
+            text_frames = jnp.repeat(jnp.repeat(text_c, n_win, axis=0), nf, axis=0)
+        cn_down, cn_mid = controlnet_apply(
+            controlnet_params, spec.controlnet_cfg, frames, t_step,
+            text_frames, ctrl_frames,
+            conditioning_scale=spec.controlnet_scale,
+        )
     out = unet3d_apply(
         params,
         spec.unet_cfg,
@@ -201,33 +239,46 @@ def denoise_loop(
     refer_embs=None,
     mid_refer_emb=None,
     refer_self_attn_embs=None,
-    controlnet_fn=None,
+    controlnet_params=None,
+    control_images=None,
 ) -> jnp.ndarray:
-    """Scan the denoise step over all timesteps. Returns final latents."""
+    """Scan the denoise step over all timesteps. Returns final latents.
+
+    Multistep schedulers (``is_multistep``) thread their history through the
+    scan carry."""
     num_steps = spec.scheduler.num_inference_steps
+    multistep = getattr(spec.scheduler, "is_multistep", False)
+    sched_state = (
+        spec.scheduler.init_state(latents.shape, latents.dtype)
+        if multistep
+        else jnp.zeros((), latents.dtype)
+    )
 
     def step_fn(carry, i):
-        lat, k = carry
+        lat, state, k = carry
         k, sub = jax.random.split(k)
         noise_pred = predict_noise(
             params, spec, lat, i, text_uc, text_c, condition_latents,
             vision_clip_emb=vision_clip_emb, refer_embs=refer_embs,
             mid_refer_emb=mid_refer_emb,
             refer_self_attn_embs=refer_self_attn_embs,
-            controlnet_fn=controlnet_fn,
+            controlnet_params=controlnet_params,
+            control_images=control_images,
         )
-        prev, _ = spec.scheduler.step(
-            noise_pred,
-            i,
-            lat,
-            key=sub,
-            w_ind_noise=spec.w_ind_noise,
-            noise_type=spec.noise_type,
-        )
-        return (prev, k), None
+        if multistep:
+            prev, _, state = spec.scheduler.step(
+                noise_pred, i, lat, state, key=sub,
+                w_ind_noise=spec.w_ind_noise, noise_type=spec.noise_type,
+            )
+        else:
+            prev, _ = spec.scheduler.step(
+                noise_pred, i, lat, key=sub,
+                w_ind_noise=spec.w_ind_noise, noise_type=spec.noise_type,
+            )
+        return (prev, state, k), None
 
-    (final, _), _ = jax.lax.scan(
-        step_fn, (latents, key), jnp.arange(num_steps, dtype=jnp.int32)
+    (final, _, _), _ = jax.lax.scan(
+        step_fn, (latents, sched_state, key), jnp.arange(num_steps, dtype=jnp.int32)
     )
     return final
 

@@ -25,6 +25,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.clip_text import CLIPTextConfig, clip_text_encode
+from ..models.clip_vision import (
+    CLIPVisionConfig,
+    clip_vision_encode,
+    preprocess_clip_image,
+)
+from ..models.controlnet import ControlNetConfig
+from ..models.ip_adapter import image_proj
+from ..models.referencenet import ReferenceNetConfig, referencenet_apply
 from ..models.unet3d import UNet3DConfig
 from ..models.vae import (
     VAEConfig,
@@ -34,8 +42,7 @@ from ..models.vae import (
 from ..ops.context import make_window_plan
 from ..ops.guidance import guidance_schedule
 from ..ops.noise import make_noise
-from ..schedulers.base import ScheduleConfig
-from ..schedulers.euler_discrete import EulerDiscreteScheduler
+from ..schedulers import ScheduleConfig, create_scheduler
 from ..utils.text_emb import encode_weighted_prompt
 from ..utils.tokenizer import Tokenizer, get_tokenizer
 from .denoiser import DenoiseSpec, denoise_loop, splice_condition_frames
@@ -50,6 +57,14 @@ class MusevModels:
     text_params: dict
     text_cfg: CLIPTextConfig
     tokenizer: Tokenizer
+    # optional conditioning branches (musev_referencenet / pose presets)
+    referencenet_params: Optional[dict] = None
+    referencenet_cfg: Optional[ReferenceNetConfig] = None
+    clip_vision_params: Optional[dict] = None
+    clip_vision_cfg: Optional[CLIPVisionConfig] = None
+    ip_proj_params: Optional[dict] = None
+    controlnet_params: Optional[dict] = None
+    controlnet_cfg: Optional[ControlNetConfig] = None
 
 
 @dataclasses.dataclass
@@ -65,15 +80,17 @@ class MusevPipeline:
         self,
         models: MusevModels,
         scheduler_config: ScheduleConfig = ScheduleConfig(),
+        scheduler_name: str = "euler",
         dtype=jnp.float32,
         dp_axis: Optional[str] = None,
     ):
         self.m = models
         self.scheduler_config = scheduler_config
+        self.scheduler_name = scheduler_name
         self.dtype = dtype
         self.dp_axis = dp_axis
         self._denoise_jit = jax.jit(
-            denoise_loop, static_argnames=("spec", "controlnet_fn")
+            denoise_loop, static_argnames=("spec",)
         )
 
     # -- encoders ----------------------------------------------------------
@@ -113,8 +130,8 @@ class MusevPipeline:
     ) -> DenoiseSpec:
         return DenoiseSpec(
             unet_cfg=self.m.unet_cfg,
-            scheduler=EulerDiscreteScheduler.create(
-                num_steps, config=self.scheduler_config
+            scheduler=create_scheduler(
+                self.scheduler_name, num_steps, config=self.scheduler_config
             ),
             plan=make_window_plan(
                 time_size,
@@ -168,6 +185,221 @@ class MusevPipeline:
             self.m.unet_params, spec, latents, text_uc, text_c, key
         )
 
+    def _prepare_reference_conditioning(
+        self,
+        refer_image: Optional[np.ndarray],
+        ip_adapter_image: Optional[np.ndarray],
+        t0: float,
+    ) -> dict:
+        """ReferenceNet block embs + IP-Adapter clip tokens
+        (pipeline get_referencenet_emb :867-964, get_ip_adapter_image_emb
+        :686-780). Uncond halves: refer embs are shared (uncond = cond copy,
+        :845); IP tokens use proj(zeros) stacked as [uncond; cond]."""
+        out: dict = {}
+        m = self.m
+        if (
+            refer_image is not None
+            and m.referencenet_params is not None
+            and m.referencenet_cfg is not None
+        ):
+            lat = self.encode_images(np.asarray(refer_image)[:, None])[:, 0]
+            text_stub = jnp.zeros(
+                (lat.shape[0], 1, m.referencenet_cfg.cross_attention_dim),
+                self.dtype,
+            )
+            clip_ctx = text_stub
+            if (
+                m.clip_vision_params is not None
+                and m.ip_proj_params is not None
+                and ip_adapter_image is not None
+            ):
+                pixels = preprocess_clip_image(
+                    jnp.asarray(ip_adapter_image), m.clip_vision_cfg.image_size
+                )
+                _, pooled = clip_vision_encode(
+                    m.clip_vision_params, m.clip_vision_cfg, pixels
+                )
+                clip_ctx = image_proj(m.ip_proj_params, pooled).astype(self.dtype)
+            down, mid, _ = referencenet_apply(
+                m.referencenet_params, m.referencenet_cfg,
+                lat.astype(self.dtype), t0, clip_ctx,
+            )
+            out["refer_embs"] = down
+            out["mid_refer_emb"] = mid
+        if (
+            ip_adapter_image is not None
+            and m.clip_vision_params is not None
+            and m.ip_proj_params is not None
+            and m.unet_cfg.ip_adapter_cross_attn
+        ):
+            pixels = preprocess_clip_image(
+                jnp.asarray(ip_adapter_image), m.clip_vision_cfg.image_size
+            )
+            _, pooled = clip_vision_encode(
+                m.clip_vision_params, m.clip_vision_cfg, pixels
+            )
+            cond_tokens = image_proj(m.ip_proj_params, pooled)
+            uncond_tokens = image_proj(
+                m.ip_proj_params, jnp.zeros_like(pooled)
+            )
+            out["vision_clip_emb"] = jnp.concatenate(
+                [uncond_tokens, cond_tokens], axis=0
+            ).astype(self.dtype)
+        return out
+
+    def video2video(
+        self,
+        prompt: Union[str, Sequence[str]],
+        video_frames: np.ndarray,  # (T, H, W, 3) uint8 source or control video
+        negative_prompt: Union[str, Sequence[str]] = "",
+        *,
+        video_is_middle: bool = False,
+        controlnet_processor=None,
+        need_video2video: bool = False,
+        video_strength: float = 0.8,
+        condition_images: Optional[np.ndarray] = None,
+        time_size: int = 12,
+        n_vision_condition: int = 1,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        video_num_inference_steps: int = 10,
+        num_inference_steps: int = 30,
+        video_guidance_scale: float = 3.5,
+        guidance_scale: float = 7.5,
+        context_schedule: str = "uniform_v2",
+        context_frames: int = 12,
+        context_overlap: int = 4,
+        noise_type: str = "video_fusion",
+        w_ind_noise: float = 0.5,
+        motion_speed: float = 8.0,
+        controlnet_conditioning_scale: float = 1.0,
+        refer_image: Optional[np.ndarray] = None,
+        ip_adapter_image: Optional[np.ndarray] = None,
+        ip_adapter_scale: float = 1.0,
+        seed: int = 0,
+        decode_segment: int = 16,
+    ) -> VideoResult:
+        """Pose/Video2Video: shot loop over source-video windows
+        (run_pipe_video2video, predictor.py:760-1290).
+
+        ``video_is_middle=True`` means the source video already IS the control
+        signal (pose maps); otherwise ``controlnet_processor`` (a callable
+        frames->maps, e.g. a dwpose stage) is applied per window.
+        """
+        if isinstance(prompt, str):
+            prompt = [prompt]
+        if isinstance(negative_prompt, str):
+            negative_prompt = [negative_prompt] * len(prompt)
+        b = len(prompt)
+        assert b == 1, "video2video currently supports batch 1"
+        key = jax.random.PRNGKey(seed)
+        text_c = self.encode_prompt(prompt)
+        text_uc = self.encode_prompt(negative_prompt)
+
+        video_frames = np.asarray(video_frames)
+        height = height or video_frames.shape[1]
+        width = width or video_frames.shape[2]
+        scale = self.m.vae_cfg.downscale
+        h, w = height // scale, width // scale
+        c_lat = self.m.unet_cfg.in_channels
+
+        def to_control(frames):
+            if video_is_middle or controlnet_processor is None:
+                return frames
+            return controlnet_processor(frames)
+
+        n_vc = n_vision_condition
+        spec = self._make_spec(
+            video_num_inference_steps, time_size, context_frames,
+            context_overlap, context_schedule, video_guidance_scale, None,
+            "linear", n_vc, w_ind_noise, noise_type, motion_speed,
+            ip_adapter_scale=ip_adapter_scale,
+        )
+        if self.m.controlnet_cfg is not None:
+            spec = dataclasses.replace(
+                spec, controlnet_cfg=self.m.controlnet_cfg,
+                controlnet_scale=controlnet_conditioning_scale,
+            )
+
+        condition_latents = None
+        last_control = None
+        all_latents: List[jnp.ndarray] = []
+        t_total = video_frames.shape[0]
+        for lo in range(0, t_total, time_size):
+            window = video_frames[lo : lo + time_size]
+            if window.shape[0] < time_size:
+                break
+            control = to_control(window)
+            if lo == 0:
+                if n_vc > 0:
+                    if condition_images is not None:
+                        condition_latents = self.encode_images(condition_images)
+                    else:
+                        key, sub = jax.random.split(key)
+                        condition_latents = self.generate_condition_latents(
+                            text_c, text_uc, height, width, sub,
+                            num_inference_steps=num_inference_steps,
+                            guidance_scale=guidance_scale,
+                            noise_type=noise_type, w_ind_noise=w_ind_noise,
+                        )
+                cond_control = control[:1] if n_vc > 0 else None  # (n_vc,H,W,3)
+            else:
+                cond_control = last_control[None] if n_vc > 0 else None
+
+            key, sub = jax.random.split(key)
+            if need_video2video:
+                src_lat = self.encode_images(window[None])
+                noise = make_noise(
+                    sub, (b, time_size, h, w, c_lat), noise_type=noise_type,
+                    w_ind_noise=w_ind_noise,
+                ).astype(self.dtype)
+                start = int(
+                    video_num_inference_steps * (1.0 - video_strength)
+                )
+                latents = spec.scheduler.add_noise(src_lat, noise, start)
+            else:
+                noise = make_noise(
+                    sub, (b, time_size, h, w, c_lat), noise_type=noise_type,
+                    w_ind_noise=w_ind_noise,
+                ).astype(self.dtype)
+                if condition_latents is not None:
+                    cond_mean = jnp.mean(condition_latents, axis=1, keepdims=True)
+                    noise = (
+                        1e-3**0.5 * cond_mean + (1 - 1e-3) ** 0.5 * noise
+                    ).astype(self.dtype)
+                latents = noise * spec.scheduler.init_noise_sigma
+
+            ctrl = None
+            ctrl_params = None
+            if self.m.controlnet_params is not None and spec.controlnet_cfg is not None:
+                parts = ([cond_control] if cond_control is not None else []) + [control]
+                ctrl = jnp.asarray(
+                    np.concatenate(parts, axis=0)[None], jnp.float32
+                ) / 255.0
+                ctrl_params = self.m.controlnet_params
+
+            refer_cond = self._prepare_reference_conditioning(
+                refer_image, ip_adapter_image,
+                t0=float(spec.scheduler.timesteps[0]),
+            )
+            key, sub = jax.random.split(key)
+            out = self._denoise_jit(
+                self.m.unet_params, spec, latents, text_uc, text_c, sub,
+                condition_latents=condition_latents,
+                controlnet_params=ctrl_params,
+                control_images=ctrl,
+                **refer_cond,
+            )
+            full = splice_condition_frames(out, condition_latents, n_vc)
+            all_latents.append(full if lo == 0 else full[:, n_vc:])
+            if n_vc > 0:
+                condition_latents = full[:, -n_vc:]
+                last_control = control[-1]
+
+        latents_cat = jnp.concatenate(all_latents, axis=1)
+        videos = self.decode_latents(latents_cat, segment=decode_segment)
+        return VideoResult(videos=videos, latents=np.asarray(latents_cat))
+
     def text2video(
         self,
         prompt: Union[str, Sequence[str]],
@@ -195,6 +427,11 @@ class MusevPipeline:
         motion_speed: float = 8.0,
         seed: int = 0,
         decode_segment: int = 16,
+        refer_image: Optional[np.ndarray] = None,  # (B, H, W, 3) [0,255]
+        ip_adapter_image: Optional[np.ndarray] = None,  # (B, H, W, 3) [0,255]
+        ip_adapter_scale: float = 1.0,
+        control_images: Optional[np.ndarray] = None,  # (B, n_vc+T_total, H, W, 3) [0,255]
+        controlnet_conditioning_scale: float = 1.0,
     ) -> VideoResult:
         """The infinite-length text/image-to-video driver
         (run_pipe_text2video, predictor.py:356-750)."""
@@ -239,6 +476,24 @@ class MusevPipeline:
             context_overlap, context_schedule, video_guidance_scale,
             video_guidance_scale_end, video_guidance_scale_method,
             n_vision_condition, w_ind_noise, noise_type, motion_speed,
+            ip_adapter_scale=ip_adapter_scale,
+        )
+        if control_images is not None and self.m.controlnet_cfg is not None:
+            spec = dataclasses.replace(
+                spec,
+                controlnet_cfg=self.m.controlnet_cfg,
+                controlnet_scale=controlnet_conditioning_scale,
+            )
+
+        # default reference/ip-adapter image: the condition image itself
+        # (predictor.py:588-636)
+        if refer_image is None and condition_images is not None:
+            refer_image = np.asarray(condition_images)[:, 0]
+        if ip_adapter_image is None and refer_image is not None:
+            ip_adapter_image = refer_image
+        refer_cond = self._prepare_reference_conditioning(
+            refer_image, ip_adapter_image,
+            t0=float(spec.scheduler.timesteps[0]),
         )
 
         all_latents: List[jnp.ndarray] = []
@@ -258,9 +513,22 @@ class MusevPipeline:
             latents = noise * spec.scheduler.init_noise_sigma
 
             key, sub = jax.random.split(key)
+            ctrl = None
+            if control_images is not None and spec.controlnet_cfg is not None:
+                lo = i_batch * video_length
+                ctrl_gen = control_images[:, n_vision_condition + lo:
+                                          n_vision_condition + lo + video_length]
+                ctrl = np.concatenate(
+                    [control_images[:, :n_vision_condition], ctrl_gen], axis=1
+                )
+                ctrl = jnp.asarray(ctrl, jnp.float32) / 255.0
             out = self._denoise_jit(
                 self.m.unet_params, spec, latents, text_uc, text_c, sub,
                 condition_latents=condition_latents,
+                controlnet_params=self.m.controlnet_params
+                if ctrl is not None else None,
+                control_images=ctrl,
+                **refer_cond,
             )
             full = splice_condition_frames(out, condition_latents, n_vision_condition)
             if i_batch == 0:

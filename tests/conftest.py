@@ -21,3 +21,6 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
+# persistent compile cache: the suite is compile-bound on CPU
+jax.config.update("jax_compilation_cache_dir", "/tmp/musev_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,100 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from musev_tpu.models.clip_text import CLIPTextConfig, init_clip_text
+from musev_tpu.models.controlnet import (
+    ControlNetConfig,
+    controlnet_apply,
+    init_controlnet,
+    init_pose_guider,
+    pose_guider_apply,
+)
+from musev_tpu.models.unet3d import UNet3DConfig, init_unet3d
+from musev_tpu.models.vae import VAEConfig, init_vae
+from musev_tpu.pipelines.pipeline import MusevModels, MusevPipeline
+from musev_tpu.utils.tokenizer import HashTokenizer
+
+CN_CFG = ControlNetConfig(
+    block_out_channels=(8, 8, 16, 16), cond_embed_channels=(4, 8, 8, 8),
+    layers_per_block=2, cross_attention_dim=16, attention_heads=4,
+    norm_num_groups=4,
+)
+
+
+def test_controlnet_shapes_and_zero_init():
+    params = init_controlnet(jax.random.PRNGKey(0), CN_CFG)
+    sample = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    text = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 16))
+    cond = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 3))
+    down, mid = controlnet_apply(params, CN_CFG, sample, 100.0, text, cond)
+    assert len(down) == 12
+    assert down[0].shape == (2, 8, 8, 8)
+    assert mid.shape == (2, 1, 1, 16)
+    # zero-init residual taps: all outputs exactly zero at init
+    for r in down:
+        assert float(jnp.abs(r).max()) == 0.0
+    assert float(jnp.abs(mid).max()) == 0.0
+
+
+def test_pose_guider():
+    params = init_pose_guider(jax.random.PRNGKey(0), CN_CFG)
+    cond = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    out = pose_guider_apply(params, cond)
+    assert out.shape == (2, 8, 8, 8)
+
+
+@pytest.fixture(scope="module")
+def cn_pipeline():
+    unet_cfg = UNet3DConfig(
+        block_out_channels=(8, 8, 16, 16), layers_per_block=2,
+        cross_attention_dim=16, attention_heads=4, norm_num_groups=4,
+    )
+    vae_cfg = VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                        norm_num_groups=4)
+    text_cfg = CLIPTextConfig(vocab_size=500, hidden_size=16, num_layers=1,
+                              num_heads=4, intermediate_size=32)
+    k = jax.random.PRNGKey(0)
+    cn_params = init_controlnet(jax.random.fold_in(k, 3), CN_CFG)
+    # perturb the zero-init taps AND the conditioning stem's zero-init
+    # conv_out so control actually does something at random init
+    for zc in cn_params["zero_convs"]:
+        zc["kernel"] = jax.random.normal(jax.random.PRNGKey(9), zc["kernel"].shape) * 0.05
+    ce_out = cn_params["cond_embedding"]["conv_out"]
+    ce_out["kernel"] = jax.random.normal(jax.random.PRNGKey(8), ce_out["kernel"].shape) * 0.05
+    models = MusevModels(
+        unet_params=init_unet3d(jax.random.fold_in(k, 0), unet_cfg),
+        unet_cfg=unet_cfg,
+        vae_params=init_vae(jax.random.fold_in(k, 1), vae_cfg),
+        vae_cfg=vae_cfg,
+        text_params=init_clip_text(jax.random.fold_in(k, 2), text_cfg),
+        text_cfg=text_cfg,
+        tokenizer=HashTokenizer(500),
+        controlnet_params=cn_params,
+        controlnet_cfg=CN_CFG,
+    )
+    return MusevPipeline(models)
+
+
+def test_video2video_pose(cn_pipeline):
+    video = (np.random.RandomState(0).rand(8, 32, 32, 3) * 255).astype(np.uint8)
+    res = cn_pipeline.video2video(
+        "a dancer", video, video_is_middle=True,
+        time_size=4, context_frames=4, context_overlap=1,
+        video_num_inference_steps=2, num_inference_steps=2,
+        height=32, width=32,
+    )
+    # 2 shots of 4 + 1 condition frame
+    assert res.videos.shape == (1, 9, 32, 32, 3)
+    assert np.isfinite(res.videos).all()
+
+
+def test_video2video_control_changes_output(cn_pipeline):
+    video = (np.random.RandomState(0).rand(4, 32, 32, 3) * 255).astype(np.uint8)
+    kw = dict(video_is_middle=True, time_size=4, context_frames=4,
+              context_overlap=1, video_num_inference_steps=2,
+              num_inference_steps=2, height=32, width=32, seed=1)
+    a = cn_pipeline.video2video("x", video, **kw)
+    b = cn_pipeline.video2video("x", np.zeros_like(video), **kw)
+    assert np.abs(a.latents - b.latents).max() > 1e-6
