@@ -15,11 +15,18 @@ single-chip run reports chip-normalized throughput and the e2e ratio.
 
 import argparse
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("MUSEV_JAX_CACHE", "/tmp/musev_tpu_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():
