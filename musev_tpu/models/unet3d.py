@@ -72,6 +72,8 @@ class UNet3DConfig:
     need_refer_emb: bool = False  # ReferenceNet block-emb fusion
     ip_adapter_cross_attn: bool = False
     ip_adapter_dim: int = 768  # clip image emb dim after projection
+    need_ip_adapter_face: bool = False  # IPAdapterFaceID branch (t2i attn2)
+    ip_adapter_face_dim: int = 768
     keep_content_condition: bool = False  # temporal-layer condition-frame mask
 
     @property
@@ -164,6 +166,8 @@ def init_unet3d(key, cfg: UNet3DConfig, dtype=jnp.float32) -> Params:
                     nxt(), out_c, cfg.cross_attention_dim, dtype,
                     ip_adapter=cfg.ip_adapter_cross_attn,
                     ip_dim=cfg.ip_adapter_dim,
+                    ip_face=cfg.need_ip_adapter_face,
+                    ip_face_dim=cfg.ip_adapter_face_dim,
                 )
             layers.append(layer)
             skip_channels.append(out_c)
@@ -190,6 +194,8 @@ def init_unet3d(key, cfg: UNet3DConfig, dtype=jnp.float32) -> Params:
             nxt(), mid_c, cfg.cross_attention_dim, dtype,
             ip_adapter=cfg.ip_adapter_cross_attn,
             ip_dim=cfg.ip_adapter_dim,
+            ip_face=cfg.need_ip_adapter_face,
+            ip_face_dim=cfg.ip_adapter_face_dim,
         ),
         "resnet_1": blk.init_resnet_block(nxt(), mid_c, mid_c, cfg.temb_dim, dtype),
     }
@@ -221,6 +227,8 @@ def init_unet3d(key, cfg: UNet3DConfig, dtype=jnp.float32) -> Params:
                     nxt(), out_c, cfg.cross_attention_dim, dtype,
                     ip_adapter=cfg.ip_adapter_cross_attn,
                     ip_dim=cfg.ip_adapter_dim,
+                    ip_face=cfg.need_ip_adapter_face,
+                    ip_face_dim=cfg.ip_adapter_face_dim,
                 )
             layers.append(layer)
         block = {"layers": layers}
@@ -275,6 +283,8 @@ def unet3d_apply(
     refer_self_attn_mode: Optional[str] = None,
     vision_clip_emb: Optional[jnp.ndarray] = None,
     ip_adapter_scale: float = 1.0,
+    ip_adapter_face_emb: Optional[jnp.ndarray] = None,
+    ip_adapter_face_scale: float = 1.0,
     controlnet_down_residuals: Optional[Sequence[jnp.ndarray]] = None,
     controlnet_mid_residual: Optional[jnp.ndarray] = None,
     pose_guider_emb: Optional[jnp.ndarray] = None,
@@ -357,6 +367,13 @@ def unet3d_apply(
             clip_ctx = jnp.repeat(clip_ctx, num_frames, axis=0)
         else:
             clip_ctx = clip_ctx.reshape(-1, *clip_ctx.shape[2:])
+    face_ctx = None
+    if ip_adapter_face_emb is not None and cfg.need_ip_adapter_face:
+        face_ctx = ip_adapter_face_emb
+        if face_ctx.ndim == 3:
+            face_ctx = jnp.repeat(face_ctx, num_frames, axis=0)
+        else:
+            face_ctx = face_ctx.reshape(-1, *face_ctx.shape[2:])
 
     # condition-frame mask for temporal residuals (keep_content_condition)
     cond_mask = None
@@ -379,6 +396,7 @@ def unet3d_apply(
         cond_index=cond_index if use_temporal else None,
         do_cfg=do_cfg,
         ip_adapter_scale=ip_adapter_scale,
+        ip_adapter_face_scale=ip_adapter_face_scale,
     )
 
     self_attn_counter = [0]
@@ -403,6 +421,7 @@ def unet3d_apply(
             reference_attn=cfg.reference_attn,
             refer_tokens=read_tokens,
             vision_clip_tokens=clip_ctx,
+            face_tokens=face_ctx,
             self_attn_out=write_list,
             self_attn_idx=idx,
             **spatial_kwargs,

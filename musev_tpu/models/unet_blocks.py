@@ -259,6 +259,8 @@ def init_transformer_block(
     dtype=jnp.float32,
     ip_adapter: bool = False,
     ip_dim: int = 768,
+    ip_face: bool = False,
+    ip_face_dim: int = 768,
 ) -> Params:
     ks = jax.random.split(key, 3)
     return {
@@ -268,6 +270,7 @@ def init_transformer_block(
         "attn2": init_attention(
             ks[1], dim, cross_dim, dtype=dtype,
             ip_kv_dim=ip_dim if ip_adapter else None,
+            ip_face_kv_dim=ip_face_dim if ip_face else None,
         ),
         "norm3": init_norm(dim),
         "ff": init_geglu_ff(ks[2], dim, dtype=dtype),
@@ -287,6 +290,8 @@ def transformer_block_spatial(
     refer_tokens: Optional[jnp.ndarray] = None,
     vision_clip_tokens: Optional[jnp.ndarray] = None,
     ip_adapter_scale: float = 1.0,
+    face_tokens: Optional[jnp.ndarray] = None,
+    ip_adapter_face_scale: float = 1.0,
     self_attn_out: Optional[List] = None,
     self_attn_idx: Optional[int] = None,
 ) -> jnp.ndarray:
@@ -319,6 +324,8 @@ def transformer_block_spatial(
         heads=heads,
         ip_context=vision_clip_tokens,
         ip_scale=ip_adapter_scale,
+        ip_face_context=face_tokens,
+        ip_face_scale=ip_adapter_face_scale,
     )
     x = x + geglu_ff(p["ff"], layer_norm(p["norm3"], x))
     return x
@@ -331,6 +338,8 @@ def init_spatial_transformer(
     dtype=jnp.float32,
     ip_adapter: bool = False,
     ip_dim: int = 768,
+    ip_face: bool = False,
+    ip_face_dim: int = 768,
 ) -> Params:
     ks = jax.random.split(key, 3)
     return {
@@ -338,7 +347,7 @@ def init_spatial_transformer(
         "proj_in": init_conv(ks[0], channels, channels, 1, dtype=dtype),
         "block": init_transformer_block(
             ks[1], channels, cross_dim, dtype=dtype, ip_adapter=ip_adapter,
-            ip_dim=ip_dim,
+            ip_dim=ip_dim, ip_face=ip_face, ip_face_dim=ip_face_dim,
         ),
         "proj_out": init_conv(ks[2], channels, channels, 1, dtype=dtype),
     }

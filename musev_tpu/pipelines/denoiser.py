@@ -46,6 +46,7 @@ class DenoiseSpec:
     noise_type: str = "video_fusion"
     motion_speed: float = 8.0
     ip_adapter_scale: float = 1.0
+    ip_adapter_face_scale: float = 1.0
     skip_temporal: bool = False
     controlnet_cfg: Optional["ControlNetConfig"] = None
     controlnet_scale: float = 1.0
@@ -55,7 +56,8 @@ class DenoiseSpec:
         return hash(
             (self.unet_cfg, self.scheduler, self.plan, self.guidance.tobytes(),
              self.n_vision_cond, self.do_cfg, self.w_ind_noise, self.noise_type,
-             self.motion_speed, self.ip_adapter_scale, self.skip_temporal,
+             self.motion_speed, self.ip_adapter_scale,
+             self.ip_adapter_face_scale, self.skip_temporal,
              self.controlnet_cfg, self.controlnet_scale, self.dp_axis)
         )
 
@@ -87,6 +89,7 @@ def predict_noise(
     text_c: jnp.ndarray,
     condition_latents: Optional[jnp.ndarray] = None,
     vision_clip_emb: Optional[jnp.ndarray] = None,
+    ip_adapter_face_emb: Optional[jnp.ndarray] = None,
     refer_embs=None,
     mid_refer_emb=None,
     refer_self_attn_embs=None,
@@ -196,6 +199,8 @@ def predict_noise(
         do_cfg=spec.do_cfg,
         motion_speed=spec.motion_speed,
         ip_adapter_scale=spec.ip_adapter_scale,
+        ip_adapter_face_emb=tile_opt(ip_adapter_face_emb),
+        ip_adapter_face_scale=spec.ip_adapter_face_scale,
         skip_temporal=spec.skip_temporal,
         vision_clip_emb=tile_opt(vision_clip_emb),
         down_block_refer_embs=[tile_opt(e) for e in refer_embs]
@@ -236,6 +241,7 @@ def denoise_loop(
     key: jax.Array,
     condition_latents: Optional[jnp.ndarray] = None,
     vision_clip_emb: Optional[jnp.ndarray] = None,
+    ip_adapter_face_emb: Optional[jnp.ndarray] = None,
     refer_embs=None,
     mid_refer_emb=None,
     refer_self_attn_embs=None,
@@ -259,7 +265,8 @@ def denoise_loop(
         k, sub = jax.random.split(k)
         noise_pred = predict_noise(
             params, spec, lat, i, text_uc, text_c, condition_latents,
-            vision_clip_emb=vision_clip_emb, refer_embs=refer_embs,
+            vision_clip_emb=vision_clip_emb,
+            ip_adapter_face_emb=ip_adapter_face_emb, refer_embs=refer_embs,
             mid_refer_emb=mid_refer_emb,
             refer_self_attn_embs=refer_self_attn_embs,
             controlnet_params=controlnet_params,

@@ -31,7 +31,7 @@ from ..models.clip_vision import (
     preprocess_clip_image,
 )
 from ..models.controlnet import ControlNetConfig
-from ..models.ip_adapter import image_proj
+from ..models.ip_adapter import image_proj, mlp_proj
 from ..models.referencenet import ReferenceNetConfig, referencenet_apply
 from ..models.unet3d import UNet3DConfig
 from ..models.vae import (
@@ -63,6 +63,7 @@ class MusevModels:
     clip_vision_params: Optional[dict] = None
     clip_vision_cfg: Optional[CLIPVisionConfig] = None
     ip_proj_params: Optional[dict] = None
+    ip_face_proj_params: Optional[dict] = None
     controlnet_params: Optional[dict] = None
     controlnet_cfg: Optional[ControlNetConfig] = None
 
@@ -430,6 +431,8 @@ class MusevPipeline:
         refer_image: Optional[np.ndarray] = None,  # (B, H, W, 3) [0,255]
         ip_adapter_image: Optional[np.ndarray] = None,  # (B, H, W, 3) [0,255]
         ip_adapter_scale: float = 1.0,
+        face_emb: Optional[np.ndarray] = None,  # (B, id_dim) insightface emb
+        ip_adapter_face_scale: float = 1.0,
         control_images: Optional[np.ndarray] = None,  # (B, n_vc+T_total, H, W, 3) [0,255]
         controlnet_conditioning_scale: float = 1.0,
     ) -> VideoResult:
@@ -495,6 +498,16 @@ class MusevPipeline:
             refer_image, ip_adapter_image,
             t0=float(spec.scheduler.timesteps[0]),
         )
+        if face_emb is not None and self.m.ip_face_proj_params is not None:
+            emb = jnp.asarray(face_emb, self.dtype)
+            cond_tok = mlp_proj(self.m.ip_face_proj_params, emb)
+            uncond_tok = mlp_proj(self.m.ip_face_proj_params, jnp.zeros_like(emb))
+            refer_cond["ip_adapter_face_emb"] = jnp.concatenate(
+                [uncond_tok, cond_tok], axis=0
+            ).astype(self.dtype)
+            spec = dataclasses.replace(
+                spec, ip_adapter_face_scale=ip_adapter_face_scale
+            )
 
         all_latents: List[jnp.ndarray] = []
         for i_batch in range(n_batch):
