@@ -48,6 +48,12 @@ class DenoiseSpec:
     ip_adapter_scale: float = 1.0
     ip_adapter_face_scale: float = 1.0
     skip_temporal: bool = False
+    # serial-denoise carry (reference fuse_part_tensor flow,
+    # pipeline_controlnet.py:1846-2136; flagged "works bad" upstream but part
+    # of the API surface). video_overlap frames of noises/latents recorded per
+    # step and fused into the next shot.
+    video_overlap: int = 0
+    record_mid_video: bool = False
     controlnet_cfg: Optional["ControlNetConfig"] = None
     controlnet_scale: float = 1.0
     dp_axis: Optional[str] = None  # mesh axis to shard the window batch over
@@ -58,6 +64,7 @@ class DenoiseSpec:
              self.n_vision_cond, self.do_cfg, self.w_ind_noise, self.noise_type,
              self.motion_speed, self.ip_adapter_scale,
              self.ip_adapter_face_scale, self.skip_temporal,
+             self.video_overlap, self.record_mid_video,
              self.controlnet_cfg, self.controlnet_scale, self.dp_axis)
         )
 
@@ -247,12 +254,23 @@ def denoise_loop(
     refer_self_attn_embs=None,
     controlnet_params=None,
     control_images=None,
-) -> jnp.ndarray:
-    """Scan the denoise step over all timesteps. Returns final latents.
+    last_mid_latents=None,
+    last_mid_noises=None,
+):
+    """Scan the denoise step over all timesteps. Returns final latents, or
+    (final, (mid_latents, mid_noises)) when ``spec.record_mid_video``.
 
     Multistep schedulers (``is_multistep``) thread their history through the
-    scan carry."""
+    scan carry. ``last_mid_*``: (num_steps+1, B, overlap, h, w, C) carries
+    from the previous shot (serial denoise, :1863-2136)."""
     num_steps = spec.scheduler.num_inference_steps
+    ov = spec.video_overlap
+    from ..ops.index_ops import fuse_part_tensor
+
+    if last_mid_latents is not None and ov > 0:
+        latents = fuse_part_tensor(
+            last_mid_latents[0], latents, ov, weight=0.1, skip_step=0
+        )
     multistep = getattr(spec.scheduler, "is_multistep", False)
     sched_state = (
         spec.scheduler.init_state(latents.shape, latents.dtype)
@@ -272,6 +290,11 @@ def denoise_loop(
             controlnet_params=controlnet_params,
             control_images=control_images,
         )
+        if last_mid_noises is not None and ov > 0:
+            fused = fuse_part_tensor(
+                last_mid_noises[i + 1], noise_pred, ov, weight=0.01, skip_step=1
+            )
+            noise_pred = jnp.where(i <= num_steps // 2, fused, noise_pred)
         if multistep:
             prev, _, state = spec.scheduler.step(
                 noise_pred, i, lat, state, key=sub,
@@ -282,11 +305,28 @@ def denoise_loop(
                 noise_pred, i, lat, key=sub,
                 w_ind_noise=spec.w_ind_noise, noise_type=spec.noise_type,
             )
-        return (prev, state, k), None
+        if last_mid_latents is not None and ov > 0:
+            fused = fuse_part_tensor(
+                last_mid_latents[i + 1], prev, ov, weight=0.1, skip_step=0
+            )
+            prev = jnp.where(i <= 1, fused, prev)
+        ys = None
+        if spec.record_mid_video and ov > 0:
+            ys = (prev[:, -ov:], noise_pred[:, -ov:])
+        return (prev, state, k), ys
 
-    (final, _, _), _ = jax.lax.scan(
+    (final, _, _), recorded = jax.lax.scan(
         step_fn, (latents, sched_state, key), jnp.arange(num_steps, dtype=jnp.int32)
     )
+    if spec.record_mid_video and ov > 0:
+        rec_lat, rec_noise = recorded
+        # prepend the initial tail / a zero slot so indices line up with the
+        # reference's [None, step0, step1, ...] list layout
+        rec_lat = jnp.concatenate([latents[None, :, -ov:], rec_lat], axis=0)
+        rec_noise = jnp.concatenate(
+            [jnp.zeros_like(rec_noise[:1]), rec_noise], axis=0
+        )
+        return final, (rec_lat, rec_noise)
     return final
 
 
