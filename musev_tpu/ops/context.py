@@ -132,6 +132,78 @@ class WindowPlan:
     def window_size(self) -> int:
         return int(self.windows.shape[1])
 
+    @property
+    def per_step(self) -> bool:
+        return False
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class StackedWindowPlan:
+    """Per-step window plans for step-dependent schedules (``uniform``).
+
+    windows: (num_steps, n_windows_max, window) int32 — short steps padded by
+    repeating their last window (repeats only re-add the same prediction and
+    are averaged out by the matching counts).
+    counts: (num_steps, T) float32.
+    """
+
+    windows: np.ndarray
+    counts: np.ndarray
+    num_frames: int
+
+    @property
+    def n_windows(self) -> int:
+        return int(self.windows.shape[1])
+
+    @property
+    def window_size(self) -> int:
+        return int(self.windows.shape[2])
+
+    @property
+    def per_step(self) -> bool:
+        return True
+
+    def __hash__(self):
+        return hash((self.num_frames, self.windows.tobytes()))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, StackedWindowPlan)
+            and self.num_frames == other.num_frames
+            and np.array_equal(self.windows, other.windows)
+        )
+
+
+def make_stacked_window_plan(
+    num_steps: int,
+    num_frames: int,
+    context_frames: int,
+    context_overlap: int = 4,
+    context_stride: int = 3,
+    schedule: str = "uniform",
+) -> StackedWindowPlan:
+    """Build one plan per denoise step and pad to a common window count."""
+    plans = [
+        make_window_plan(
+            num_frames, context_frames, context_overlap, context_stride,
+            schedule=schedule, step=i,
+        )
+        for i in range(num_steps)
+    ]
+    n_max = max(p.n_windows for p in plans)
+    w = plans[0].window_size
+    windows = np.zeros((num_steps, n_max, w), np.int32)
+    counts = np.zeros((num_steps, num_frames), np.float32)
+    for i, p in enumerate(plans):
+        padded = np.concatenate(
+            [p.windows] + [p.windows[-1:]] * (n_max - p.n_windows), axis=0
+        )
+        windows[i] = padded
+        c = np.zeros((num_frames,), np.float32)
+        np.add.at(c, padded.reshape(-1), 1.0)
+        counts[i] = np.maximum(c, 1.0)
+    return StackedWindowPlan(windows=windows, counts=counts, num_frames=num_frames)
+
 
 def make_window_plan(
     num_frames: int,

@@ -130,9 +130,11 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float = None,
-    block_q: int = 256,
-    block_kv: int = 512,
+    block_q: int = 1024,
+    block_kv: int = 1024,
 ) -> jnp.ndarray:
+    # default blocks tuned on v5e at the 576^2 spatial shapes:
+    # (1024,1024) 85.7ms vs (256,512) 140.9ms for bh=200 sq=5184 sk=10368
     """Attention over (B, S, H, D) tensors, matching ops.attention.sdpa."""
     if jax.default_backend() == "cpu":
         raise NotImplementedError("pallas flash attention requires TPU")

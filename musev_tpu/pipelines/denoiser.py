@@ -113,7 +113,13 @@ def predict_noise(
     plan = spec.plan
     n_win, wlen = plan.n_windows, plan.window_size
     n_vc = spec.n_vision_cond
-    windows = jnp.asarray(plan.windows)  # (n_win, wlen)
+    if plan.per_step:  # step-dependent schedule ('uniform'): select the
+        # current step's plan from the static stack
+        windows = jnp.asarray(plan.windows)[step_index]  # (n_win, wlen)
+        counts_t = jnp.asarray(plan.counts)[step_index]
+    else:
+        windows = jnp.asarray(plan.windows)
+        counts_t = jnp.asarray(plan.counts)
 
     scaled = spec.scheduler.scale_model_input(latents, step_index)
     # gather windows -> (B, n_win, wlen, h, w, C) -> fold to batch
@@ -165,13 +171,13 @@ def predict_noise(
         t_step = jnp.asarray(spec.scheduler.timesteps)[step_index]
         # per-window control frames: [viscond maps; window maps]
         if n_vc > 0:
-            idx = np.concatenate(
-                [np.tile(np.arange(n_vc), (n_win, 1)), plan.windows + n_vc],
-                axis=1,
+            vc_idx = jnp.broadcast_to(
+                jnp.arange(n_vc, dtype=windows.dtype)[None], (n_win, n_vc)
             )
+            idx = jnp.concatenate([vc_idx, windows + n_vc], axis=1)
         else:
-            idx = plan.windows
-        ctrl = jnp.take(control_images, jnp.asarray(idx.reshape(-1)), axis=1)
+            idx = windows
+        ctrl = jnp.take(control_images, idx.reshape(-1), axis=1)
         ctrl = ctrl.reshape(b * n_win, n_vc + wlen, *control_images.shape[2:])
         ctrl = jnp.concatenate([ctrl] * reps, axis=0)
         # controlnet consumes the spliced (viscond + window) latents
@@ -228,8 +234,7 @@ def predict_noise(
     out = out.reshape(reps, b, n_win * wlen, h, w, c)
     buf = jnp.zeros((reps, b, t, h, w, c), dtype=out.dtype)
     buf = buf.at[:, :, windows.reshape(-1)].add(out)
-    counts = jnp.asarray(plan.counts, dtype=buf.dtype)
-    noise_pred = buf / counts[None, None, :, None, None, None]
+    noise_pred = buf / counts_t.astype(buf.dtype)[None, None, :, None, None, None]
 
     if spec.do_cfg:
         g = jnp.asarray(spec.guidance)[step_index].astype(noise_pred.dtype)

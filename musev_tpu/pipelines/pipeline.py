@@ -39,7 +39,7 @@ from ..models.vae import (
     vae_decode_video,
     vae_encode_video,
 )
-from ..ops.context import make_window_plan
+from ..ops.context import make_stacked_window_plan, make_window_plan
 from ..ops.guidance import guidance_schedule
 from ..ops.noise import make_noise
 from ..schedulers import ScheduleConfig, create_scheduler
@@ -134,11 +134,18 @@ class MusevPipeline:
             scheduler=create_scheduler(
                 self.scheduler_name, num_steps, config=self.scheduler_config
             ),
-            plan=make_window_plan(
-                time_size,
-                min(context_frames, time_size),
-                context_overlap=context_overlap,
-                schedule=context_schedule,
+            plan=(
+                make_stacked_window_plan(
+                    num_steps, time_size, min(context_frames, time_size),
+                    context_overlap=context_overlap, schedule=context_schedule,
+                )
+                if context_schedule == "uniform"
+                else make_window_plan(
+                    time_size,
+                    min(context_frames, time_size),
+                    context_overlap=context_overlap,
+                    schedule=context_schedule,
+                )
             ),
             guidance=guidance_schedule(
                 guidance_start, num_steps, stop=guidance_end, method=guidance_method
