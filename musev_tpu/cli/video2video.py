@@ -31,6 +31,10 @@ def parse_args(argv=None):
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--video_is_middle", action="store_true")
+    p.add_argument("--controlnet_name", type=str, default="none",
+                   help="condition processor: none|canny|<registered> "
+                        "(reference controlnet_aux zoo; register custom via "
+                        "musev_tpu.io.processors)")
     p.add_argument("--need_video2video", action="store_true")
     p.add_argument("--video_strength", type=float, default=0.8)
     p.add_argument("--n_vision_condition", type=int, default=1)
@@ -110,10 +114,14 @@ def main(argv=None):
         refer_path = task.get("refer_image")
         refer = _load_image(refer_path, height, width)[:, 0] if refer_path else None
 
+        from ..io.processors import get_processor
+
+        processor = get_processor(args.controlnet_name)
         res = pipe.video2video(
             prompt,
             frames,
             negative,
+            controlnet_processor=processor,
             video_is_middle=bool(task.get("video_is_middle", args.video_is_middle)),
             need_video2video=args.need_video2video,
             video_strength=args.video_strength,

@@ -177,9 +177,16 @@ def predict_noise(
             idx = jnp.concatenate([vc_idx, windows + n_vc], axis=1)
         else:
             idx = windows
-        ctrl = jnp.take(control_images, idx.reshape(-1), axis=1)
-        ctrl = ctrl.reshape(b * n_win, n_vc + wlen, *control_images.shape[2:])
-        ctrl = jnp.concatenate([ctrl] * reps, axis=0)
+        def gather_ctrl(imgs):
+            g = jnp.take(imgs, idx.reshape(-1), axis=1)
+            g = g.reshape(b * n_win, n_vc + wlen, *imgs.shape[2:])
+            g = jnp.concatenate([g] * reps, axis=0)
+            return g.reshape(-1, *imgs.shape[2:])
+
+        if isinstance(control_images, (list, tuple)):
+            ctrl_frames = [gather_ctrl(ci) for ci in control_images]
+        else:
+            ctrl_frames = gather_ctrl(control_images)
         # controlnet consumes the spliced (viscond + window) latents
         if cond is not None:
             cn_lat = jnp.concatenate([cond.astype(model_in.dtype), model_in], axis=1)
@@ -187,7 +194,6 @@ def predict_noise(
             cn_lat = model_in
         nf = cn_lat.shape[1]
         frames = cn_lat.reshape(-1, *cn_lat.shape[2:])
-        ctrl_frames = ctrl.reshape(-1, *ctrl.shape[2:])
         if spec.do_cfg:
             text_frames = jnp.concatenate([
                 jnp.repeat(jnp.repeat(text_uc, n_win, axis=0), nf, axis=0),
@@ -195,11 +201,37 @@ def predict_noise(
             ])
         else:
             text_frames = jnp.repeat(jnp.repeat(text_c, n_win, axis=0), nf, axis=0)
-        cn_down, cn_mid = controlnet_apply(
-            controlnet_params, spec.controlnet_cfg, frames, t_step,
-            text_frames, ctrl_frames,
-            conditioning_scale=spec.controlnet_scale,
+        # MultiControlNet: lists of (params, cfg, scale-weighted images) sum
+        # their residuals (reference MultiControlNetModel usage)
+        cn_list = (
+            controlnet_params
+            if isinstance(controlnet_params, (list, tuple))
+            else [controlnet_params]
         )
+        cfg_list = (
+            spec.controlnet_cfg
+            if isinstance(spec.controlnet_cfg, tuple)
+            else [spec.controlnet_cfg] * len(cn_list)
+        )
+        img_list = (
+            ctrl_frames if isinstance(ctrl_frames, list) else [ctrl_frames] * len(cn_list)
+        )
+        scale_list = (
+            spec.controlnet_scale
+            if isinstance(spec.controlnet_scale, tuple)
+            else (spec.controlnet_scale,) * len(cn_list)
+        )
+        cn_down = cn_mid = None
+        for cp, cc, ci, cs in zip(cn_list, cfg_list, img_list, scale_list):
+            d_i, m_i = controlnet_apply(
+                cp, cc, frames, t_step, text_frames, ci,
+                conditioning_scale=cs,
+            )
+            if cn_down is None:
+                cn_down, cn_mid = list(d_i), m_i
+            else:
+                cn_down = [a + b_ for a, b_ in zip(cn_down, d_i)]
+                cn_mid = cn_mid + m_i
     out = unet3d_apply(
         params,
         spec.unet_cfg,
