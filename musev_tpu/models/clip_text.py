@@ -72,6 +72,8 @@ def clip_text_encode(
 ) -> jnp.ndarray:
     """(B, S) int32 token ids -> (B, S, hidden) last hidden state."""
     b, s = input_ids.shape
+    vocab = params["token_embedding"].shape[0]
+    input_ids = jnp.clip(input_ids, 0, vocab - 1)
     x = jnp.take(params["token_embedding"], input_ids, axis=0)
     x = x + params["position_embedding"][None, :s].astype(x.dtype)
     heads = cfg.num_heads

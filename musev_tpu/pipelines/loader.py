@@ -26,10 +26,20 @@ from ..models.ip_adapter import init_image_proj
 from ..models.referencenet import init_referencenet
 from ..models.unet3d import init_unet3d
 from ..models.vae import init_vae
-from ..utils.tokenizer import get_tokenizer
+from ..utils.tokenizer import HashTokenizer, HFCLIPTokenizer
 from .pipeline import MusevModels
 
 logger = logging.getLogger(__name__)
+
+
+def _tokenizer_for(preset: ModelPreset):
+    if preset.tokenizer_path:
+        try:
+            return HFCLIPTokenizer(preset.tokenizer_path)
+        except Exception:
+            logger.warning("tokenizer load failed; using hash fallback")
+    # fallback tokenizer must hash into the text model's actual vocab
+    return HashTokenizer(vocab_size=preset.text_cfg.vocab_size)
 
 
 def _load_state_dict(path: str):
@@ -102,6 +112,6 @@ def build_models(
         vae_cfg=preset.vae_cfg,
         text_params=text_params,
         text_cfg=preset.text_cfg,
-        tokenizer=get_tokenizer(preset.tokenizer_path),
+        tokenizer=_tokenizer_for(preset),
         **kwargs,
     )

@@ -142,5 +142,7 @@ def encode_weighted_prompt(
     prev_mean = jnp.mean(emb.astype(jnp.float32), axis=(-2, -1))
     emb = emb * w[..., None].astype(emb.dtype)
     cur_mean = jnp.mean(emb.astype(jnp.float32), axis=(-2, -1))
-    emb = emb * (prev_mean / cur_mean)[:, None, None].astype(emb.dtype)
+    # guard near-zero means (random-weight models): skip the rescale then
+    ratio = jnp.where(jnp.abs(cur_mean) > 1e-6, prev_mean / cur_mean, 1.0)
+    emb = emb * ratio[:, None, None].astype(emb.dtype)
     return emb
