@@ -22,6 +22,8 @@ from typing import Dict, Iterator, List, Optional, Tuple
 import numpy as np
 
 from .clip_text import CLIPTextConfig
+from .controlnet import ControlNetConfig
+from .referencenet import ReferenceNetConfig
 from .unet3d import UNet3DConfig
 from .vae import VAEConfig
 
@@ -244,6 +246,94 @@ def vae_key_map(cfg: VAEConfig) -> Iterator[KeyEntry]:
     yield "decoder.conv_out", ("decoder", "conv_out"), "conv2d"
 
 
+def referencenet_key_map(cfg: ReferenceNetConfig) -> Iterator[KeyEntry]:
+    """ReferenceNet2D = SD UNet trunk (referencenet.py head pruned at
+    :624-636), so the torch keys are the 2D UNet's down+mid subset."""
+    yield "conv_in", ("conv_in",), "conv2d"
+    yield "time_embedding.linear_1", ("time_embedding", "linear_1"), "linear"
+    yield "time_embedding.linear_2", ("time_embedding", "linear_2"), "linear"
+    n = len(cfg.block_out_channels)
+    for i in range(n):
+        base = f"down_blocks.{i}"
+        has_attn = i < n - 1
+        for j in range(cfg.layers_per_block):
+            path = ("down_blocks", i, "layers", j)
+            yield from _resnet_entries(f"{base}.resnets.{j}", (*path, "resnet"))
+            if has_attn:
+                yield from _spatial_attn_entries(
+                    f"{base}.attentions.{j}", (*path, "attn"), False
+                )
+        if i < n - 1:
+            yield (
+                f"{base}.downsamplers.0.conv",
+                ("down_blocks", i, "downsample", "conv"),
+                "conv2d",
+            )
+    yield from _resnet_entries("mid_block.resnets.0", ("mid_block", "resnet_0"))
+    yield from _spatial_attn_entries(
+        "mid_block.attentions.0", ("mid_block", "attn"), False
+    )
+    yield from _resnet_entries("mid_block.resnets.1", ("mid_block", "resnet_1"))
+
+
+def controlnet_key_map(cfg: ControlNetConfig) -> Iterator[KeyEntry]:
+    """diffusers ControlNetModel keys -> our tree."""
+    yield "conv_in", ("conv_in",), "conv2d"
+    yield "time_embedding.linear_1", ("time_embedding", "linear_1"), "linear"
+    yield "time_embedding.linear_2", ("time_embedding", "linear_2"), "linear"
+    yield (
+        "controlnet_cond_embedding.conv_in",
+        ("cond_embedding", "conv_in"),
+        "conv2d",
+    )
+    n_pairs = len(cfg.cond_embed_channels) - 1
+    for i in range(n_pairs):
+        yield (
+            f"controlnet_cond_embedding.blocks.{2 * i}",
+            ("cond_embedding", "blocks", i, "conv1"),
+            "conv2d",
+        )
+        yield (
+            f"controlnet_cond_embedding.blocks.{2 * i + 1}",
+            ("cond_embedding", "blocks", i, "conv2"),
+            "conv2d",
+        )
+    yield (
+        "controlnet_cond_embedding.conv_out",
+        ("cond_embedding", "conv_out"),
+        "conv2d",
+    )
+    n = len(cfg.block_out_channels)
+    zc = 0
+    yield f"controlnet_down_blocks.{zc}", ("zero_convs", zc), "conv2d"
+    for i in range(n):
+        base = f"down_blocks.{i}"
+        has_attn = i < n - 1
+        for j in range(cfg.layers_per_block):
+            path = ("down_blocks", i, "layers", j)
+            yield from _resnet_entries(f"{base}.resnets.{j}", (*path, "resnet"))
+            if has_attn:
+                yield from _spatial_attn_entries(
+                    f"{base}.attentions.{j}", (*path, "attn"), False
+                )
+            zc += 1
+            yield f"controlnet_down_blocks.{zc}", ("zero_convs", zc), "conv2d"
+        if i < n - 1:
+            yield (
+                f"{base}.downsamplers.0.conv",
+                ("down_blocks", i, "downsample", "conv"),
+                "conv2d",
+            )
+            zc += 1
+            yield f"controlnet_down_blocks.{zc}", ("zero_convs", zc), "conv2d"
+    yield from _resnet_entries("mid_block.resnets.0", ("mid_block", "resnet_0"))
+    yield from _spatial_attn_entries(
+        "mid_block.attentions.0", ("mid_block", "attn"), False
+    )
+    yield from _resnet_entries("mid_block.resnets.1", ("mid_block", "resnet_1"))
+    yield "controlnet_mid_block", ("mid_zero_conv",), "conv2d"
+
+
 def clip_text_key_map(cfg: CLIPTextConfig) -> Iterator[KeyEntry]:
     yield (
         "text_model.embeddings.token_embedding",
@@ -390,6 +480,18 @@ def convert_vae(params, cfg: VAEConfig, state_dict) -> Tuple[int, List[str]]:
 
 def convert_clip_text(params, cfg: CLIPTextConfig, state_dict) -> Tuple[int, List[str]]:
     return apply_state_dict(params, list(clip_text_key_map(cfg)), state_dict)
+
+
+def convert_referencenet(
+    params, cfg: ReferenceNetConfig, state_dict
+) -> Tuple[int, List[str]]:
+    return apply_state_dict(params, list(referencenet_key_map(cfg)), state_dict)
+
+
+def convert_controlnet(
+    params, cfg: ControlNetConfig, state_dict
+) -> Tuple[int, List[str]]:
+    return apply_state_dict(params, list(controlnet_key_map(cfg)), state_dict)
 
 
 def export_unet3d(params, cfg: UNet3DConfig) -> Dict[str, np.ndarray]:

@@ -89,6 +89,14 @@ def build_models(
     kwargs = {}
     if preset.referencenet_cfg is not None:
         rp = init(init_referencenet, preset.referencenet_cfg, 3)
+        if preset.referencenet_checkpoint and os.path.exists(
+            preset.referencenet_checkpoint
+        ):
+            n, _ = sd_weights.convert_referencenet(
+                rp, preset.referencenet_cfg,
+                _load_state_dict(preset.referencenet_checkpoint),
+            )
+            logger.info("referencenet: %d tensors loaded", n)
         kwargs["referencenet_params"] = rp
         kwargs["referencenet_cfg"] = preset.referencenet_cfg
     if preset.clip_vision_cfg is not None:
@@ -102,7 +110,16 @@ def build_models(
             dtype=dtype,
         )
     if preset.controlnet_cfg is not None:
-        kwargs["controlnet_params"] = init(init_controlnet, preset.controlnet_cfg, 6)
+        cnp = init(init_controlnet, preset.controlnet_cfg, 6)
+        if preset.controlnet_checkpoint and os.path.exists(
+            preset.controlnet_checkpoint
+        ):
+            n, _ = sd_weights.convert_controlnet(
+                cnp, preset.controlnet_cfg,
+                _load_state_dict(preset.controlnet_checkpoint),
+            )
+            logger.info("controlnet: %d tensors loaded", n)
+        kwargs["controlnet_params"] = cnp
         kwargs["controlnet_cfg"] = preset.controlnet_cfg
 
     return MusevModels(
