@@ -142,7 +142,9 @@ def flash_attention(
     sk = k.shape[1]
     if scale is None:
         scale = d**-0.5
-    d_p = _cdiv(d, _LANE) * _LANE
+    # Mosaic handles non-128 head dims (multiple of 8) with identical speed;
+    # skipping the explicit zero-pad avoids 3.2x HBM inflation at d=40
+    d_p = d if d % 8 == 0 else _cdiv(d, 8) * 8
 
     def to_bh(x, s):
         x = x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
