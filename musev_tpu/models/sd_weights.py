@@ -527,6 +527,73 @@ def export_unet3d(params, cfg: UNet3DConfig) -> Dict[str, np.ndarray]:
     return out
 
 
+def ip_adapter_site_paths(cfg: UNet3DConfig) -> List[Tuple]:
+    """attn2 sites in the IP-Adapter checkpoint order: down blocks, up
+    blocks (skipping the attnless first up block), mid last
+    (ip_adapter_loader.py:232-305)."""
+    paths = []
+    for i, btype in enumerate(cfg.down_block_types):
+        if "CrossAttn" not in btype:
+            continue
+        for j in range(cfg.layers_per_block):
+            paths.append(("down_blocks", i, "layers", j, "attn", "block", "attn2"))
+    for i, btype in enumerate(cfg.up_block_types):
+        if "CrossAttn" not in btype:
+            continue
+        for j in range(cfg.layers_per_block + 1):
+            paths.append(("up_blocks", i, "layers", j, "attn", "block", "attn2"))
+    paths.append(("mid_block", "attn", "block", "attn2"))
+    return paths
+
+
+def convert_ip_adapter_unet(
+    unet_params, cfg: UNet3DConfig, ip_adapter_state_dict: Dict[str, np.ndarray],
+    face: bool = False,
+) -> int:
+    """Copy the numbered to_k_ip/to_v_ip weights of an ip_adapter.bin
+    ("ip_adapter" subdict: keys '1.to_k_ip.weight', ...) into the attn2 dual-KV
+    projections. ``face=True`` writes the FaceID slots instead."""
+    sd = ip_adapter_state_dict
+    if "ip_adapter" in sd:
+        sd = sd["ip_adapter"]
+    paths = ip_adapter_site_paths(cfg)
+    k_name, v_name = ("to_k_ip_face", "to_v_ip_face") if face else ("to_k_ip", "to_v_ip")
+    n = 0
+    for site_idx, path in enumerate(paths):
+        num = 2 * site_idx + 1  # attn2 sites are the odd processor indices
+        node = _get(unet_params, path)
+        if node is None:
+            continue
+        for proj, tgt in ((f"{num}.to_k_ip.weight", k_name),
+                          (f"{num}.to_v_ip.weight", v_name)):
+            if proj in sd and tgt in node:
+                node[tgt]["kernel"] = np.ascontiguousarray(
+                    np.asarray(sd[proj]).T
+                )
+                n += 1
+    return n
+
+
+def convert_image_proj(proj_params, state_dict: Dict[str, np.ndarray]) -> int:
+    """Load an ImageProjModel ("image_proj" subdict: proj.weight/bias,
+    norm.weight/bias) into our image_proj params."""
+    sd = state_dict.get("image_proj", state_dict)
+    n = 0
+    if "proj.weight" in sd:
+        proj_params["proj"]["kernel"] = np.ascontiguousarray(np.asarray(sd["proj.weight"]).T)
+        n += 1
+    if "proj.bias" in sd:
+        proj_params["proj"]["bias"] = np.asarray(sd["proj.bias"])
+        n += 1
+    if "norm.weight" in sd:
+        proj_params["norm"]["scale"] = np.asarray(sd["norm.weight"])
+        n += 1
+    if "norm.bias" in sd:
+        proj_params["norm"]["bias"] = np.asarray(sd["norm.bias"])
+        n += 1
+    return n
+
+
 def merge_sd_base_weights(
     unet_params, cfg: UNet3DConfig, sd_unet_state_dict
 ) -> Tuple[int, List[str]]:

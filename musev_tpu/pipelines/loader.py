@@ -102,13 +102,23 @@ def build_models(
     if preset.clip_vision_cfg is not None:
         kwargs["clip_vision_params"] = init(init_clip_vision, preset.clip_vision_cfg, 4)
         kwargs["clip_vision_cfg"] = preset.clip_vision_cfg
-        kwargs["ip_proj_params"] = init_image_proj(
+        ip_proj = init_image_proj(
             jax.random.fold_in(key, 5),
             clip_dim=preset.ip_adapter_clip_dim,
             cross_dim=preset.unet_cfg.cross_attention_dim,
             num_tokens=preset.ip_adapter_tokens,
             dtype=dtype,
         )
+        if preset.ip_adapter_checkpoint and os.path.exists(
+            preset.ip_adapter_checkpoint
+        ):
+            ip_sd = _load_state_dict(preset.ip_adapter_checkpoint)
+            n1 = sd_weights.convert_image_proj(ip_proj, ip_sd)
+            n2 = sd_weights.convert_ip_adapter_unet(
+                unet_params, preset.unet_cfg, ip_sd
+            )
+            logger.info("ip_adapter: %d proj + %d unet tensors", n1, n2)
+        kwargs["ip_proj_params"] = ip_proj
     if preset.controlnet_cfg is not None:
         cnp = init(init_controlnet, preset.controlnet_cfg, 6)
         if preset.controlnet_checkpoint and os.path.exists(
