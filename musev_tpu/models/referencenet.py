@@ -84,6 +84,43 @@ def init_referencenet(key, cfg: ReferenceNetConfig, dtype=jnp.float32) -> Params
         "attn": blk.init_spatial_transformer(nxt(), mid_c, cfg.cross_attention_dim, dtype),
         "resnet_1": blk.init_resnet_block(nxt(), mid_c, mid_c, cfg.temb_dim, dtype),
     }
+    if cfg.need_self_attn_embs:
+        # full decoder so write mode covers the 9 up-block self-attn sites
+        # (the block-emb-only path prunes it, referencenet.py:624-636)
+        skip_channels = [cfg.block_out_channels[0]]
+        out_c = cfg.block_out_channels[0]
+        for i in range(n_blocks):
+            out_c = cfg.block_out_channels[i]
+            for _ in range(cfg.layers_per_block):
+                skip_channels.append(out_c)
+            if i < n_blocks - 1:
+                skip_channels.append(out_c)
+        up_blocks = []
+        rev = list(reversed(cfg.block_out_channels))
+        prev_out = rev[0]
+        for i in range(n_blocks):
+            out_c = rev[i]
+            has_attn = i > 0  # SD1.5: first up block has no attn
+            layers = []
+            for j in range(cfg.layers_per_block + 1):
+                skip_c = skip_channels.pop()
+                res_in = (prev_out if j == 0 else out_c) + skip_c
+                layer = {
+                    "resnet": blk.init_resnet_block(
+                        nxt(), res_in, out_c, cfg.temb_dim, dtype
+                    )
+                }
+                if has_attn:
+                    layer["attn"] = blk.init_spatial_transformer(
+                        nxt(), out_c, cfg.cross_attention_dim, dtype
+                    )
+                layers.append(layer)
+            block = {"layers": layers}
+            if i < n_blocks - 1:
+                block["upsample"] = blk.init_upsample(nxt(), out_c, dtype)
+            up_blocks.append(block)
+            prev_out = out_c
+        p["up_blocks"] = up_blocks
     return p
 
 
@@ -158,7 +195,21 @@ def referencenet_apply(
     x = blk.resnet_block(mid["resnet_0"], x, temb, groups=groups, eps=eps)
     x = run_attn(mid["attn"], x)
     x = blk.resnet_block(mid["resnet_1"], x, temb, groups=groups, eps=eps)
+    mid_x = x
+
+    if cfg.need_self_attn_embs and "up_blocks" in params:
+        skips = list(embs)
+        for block in params["up_blocks"]:
+            for layer in block["layers"]:
+                skip = skips.pop()
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = blk.resnet_block(layer["resnet"], x, temb, groups=groups, eps=eps)
+                if "attn" in layer:
+                    x = run_attn(layer["attn"], x)
+            if "upsample" in block:
+                out_hw = skips[-1].shape[1:3] if skips else None
+                x = blk.upsample(block["upsample"], x, out_hw=out_hw)
 
     down_embs = [e[:, None] for e in embs]  # (B, 1, h, w, c)
-    mid_emb = x[:, None]
+    mid_emb = mid_x[:, None]
     return down_embs, mid_emb, self_attn_embs
