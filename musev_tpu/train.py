@@ -87,6 +87,106 @@ def diffusion_loss(
     return jnp.mean(err * err)
 
 
+@dataclasses.dataclass(frozen=True)
+class SuperTrainSpec:
+    """Training spec for the full conditioned bundle (the reference's
+    SuperUNet3DConditionModel scaffold, super_model.py:22-253: ip-proj ->
+    referencenet -> controlnet -> unet, all trainable)."""
+
+    unet_cfg: UNet3DConfig
+    referencenet_cfg: object = None
+    controlnet_cfg: object = None
+    schedule: ScheduleConfig = ScheduleConfig()
+    learning_rate: float = 1e-5
+    w_ind_noise: float = 0.5
+    n_vision_cond: int = 1
+    controlnet_scale: float = 1.0
+
+
+def super_diffusion_loss(
+    bundle: dict,
+    spec: SuperTrainSpec,
+    batch: dict,
+    key: jax.Array,
+) -> jnp.ndarray:
+    """Joint loss over unet + optional referencenet/ip-proj/controlnet params.
+
+    bundle keys: unet, referencenet?, ip_proj?, controlnet?
+    batch keys: latents (B,T,h,w,C), text_emb (B,S,D), refer_latents?
+      (B,h,w,C), clip_pooled? (B,clip_dim), control_images? (B,T,H,W,3)
+    """
+    from .models.controlnet import controlnet_apply
+    from .models.ip_adapter import image_proj
+    from .models.referencenet import referencenet_apply
+
+    latents = batch["latents"]
+    text_emb = batch["text_emb"]
+    b, t, h, w, c = latents.shape
+    n_vc = spec.n_vision_cond
+    cond, gen = latents[:, :n_vc], latents[:, n_vc:]
+    ac = jnp.asarray(spec.schedule.alphas_cumprod(), dtype=jnp.float32)
+    k_t, k_n = jax.random.split(key)
+    timesteps = jax.random.randint(k_t, (b,), 0, spec.schedule.num_train_timesteps)
+    a = ac[timesteps][:, None, None, None, None]
+    noise = video_fusion_noise(
+        k_n, gen.shape, w_ind_noise=spec.w_ind_noise, dtype=jnp.float32
+    )
+    noisy = (jnp.sqrt(a) * gen.astype(jnp.float32) + jnp.sqrt(1 - a) * noise).astype(
+        latents.dtype
+    )
+
+    clip_tokens = None
+    if "ip_proj" in bundle and "clip_pooled" in batch:
+        clip_tokens = image_proj(bundle["ip_proj"], batch["clip_pooled"])
+    refer_embs = mid_emb = None
+    if "referencenet" in bundle and "refer_latents" in batch:
+        ctx = clip_tokens if clip_tokens is not None else text_emb
+        refer_embs, mid_emb, _ = referencenet_apply(
+            bundle["referencenet"], spec.referencenet_cfg,
+            batch["refer_latents"], timesteps.astype(jnp.float32), ctx,
+        )
+    cn_down = cn_mid = None
+    if "controlnet" in bundle and "control_images" in batch:
+        frames = jnp.concatenate([cond.astype(noisy.dtype), noisy], axis=1)
+        frames = frames.reshape(-1, h, w, c)
+        ctrl = batch["control_images"].reshape(-1, *batch["control_images"].shape[2:])
+        txt_f = jnp.repeat(text_emb, t, axis=0)
+        ts_f = jnp.repeat(timesteps.astype(jnp.float32), t, axis=0)
+        cn_down, cn_mid = controlnet_apply(
+            bundle["controlnet"], spec.controlnet_cfg, frames, ts_f, txt_f,
+            ctrl, conditioning_scale=spec.controlnet_scale,
+        )
+
+    pred = unet3d_apply(
+        bundle["unet"],
+        spec.unet_cfg,
+        noisy,
+        timesteps.astype(jnp.float32),
+        text_emb,
+        condition_latents=cond if n_vc > 0 else None,
+        cond_index=tuple(range(n_vc)) if n_vc > 0 else None,
+        gen_index=tuple(range(n_vc, t)) if n_vc > 0 else None,
+        down_block_refer_embs=refer_embs,
+        mid_block_refer_emb=mid_emb,
+        vision_clip_emb=clip_tokens,
+        controlnet_down_residuals=cn_down,
+        controlnet_mid_residual=cn_mid,
+    )
+    pred_gen = pred[:, n_vc:] if n_vc > 0 else pred
+    err = pred_gen.astype(jnp.float32) - noise
+    return jnp.mean(err * err)
+
+
+def super_train_step(bundle, spec: SuperTrainSpec, batch, key):
+    """SGD step over the whole bundle (dp-shardable like train_step)."""
+    loss, grads = jax.value_and_grad(super_diffusion_loss)(bundle, spec, batch, key)
+    lr = spec.learning_rate
+    new_bundle = jax.tree_util.tree_map(
+        lambda p, g: p - lr * g.astype(p.dtype), bundle, grads
+    )
+    return new_bundle, loss
+
+
 def train_step(
     params,
     spec: TrainSpec,
