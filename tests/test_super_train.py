@@ -47,12 +47,15 @@ def test_super_bundle_training_decreases_loss():
     b3, l1 = step(b2, spec, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(l0)) and np.isfinite(float(l1))
     assert float(l1) < float(l0)
-    # all branch params received gradients (some must have changed)
+    # branch gradients: refnet/controlnet see zero gradient at step 1 (their
+    # fusion projections are zero-init, so d loss/d branch == 0 — same as the
+    # torch reference at init); after step 1 unblocks the projections, step 2
+    # must update every branch
     for name in ("referencenet", "controlnet", "ip_proj"):
-        before = jax.tree_util.tree_leaves(bundle[name])
-        after = jax.tree_util.tree_leaves(b2[name])
+        before = jax.tree_util.tree_leaves(b2[name])
+        after = jax.tree_util.tree_leaves(b3[name])
         changed = any(
             np.abs(np.asarray(x) - np.asarray(y)).max() > 0
             for x, y in zip(before, after)
         )
-        assert changed, f"{name} params did not update"
+        assert changed, f"{name} params did not update after unblocking"
