@@ -125,6 +125,23 @@ def _flash_bh(q, k, v, scale, block_q, block_kv):
     return out[:, :sq]
 
 
+def _pick_block(s: int, target: int) -> int:
+    """Largest block <= target (multiple of 8) minimizing pad waste.
+
+    e.g. sq=5184 with target 1024 -> 864 (6 exact blocks) instead of padding
+    to 6144 (+18.5%% wasted rows, visible in traces)."""
+    if s <= target:
+        return _cdiv(s, 8) * 8
+    best, best_waste = target, (_cdiv(s, target) * target - s) / s
+    for cand in range(target, target // 2, -8):
+        waste = (_cdiv(s, cand) * cand - s) / s
+        if waste < best_waste - 1e-9:
+            best, best_waste = cand, waste
+            if waste == 0:
+                break
+    return best
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -133,7 +150,7 @@ def flash_attention(
     block_q: int = 1024,
     block_kv: int = 1024,
 ) -> jnp.ndarray:
-    # default blocks tuned on v5e at the 576^2 spatial shapes:
+    # default block targets tuned on v5e at the 576^2 spatial shapes:
     # (1024,1024) 85.7ms vs (256,512) 140.9ms for bh=200 sq=5184 sk=10368
     """Attention over (B, S, H, D) tensors, matching ops.attention.sdpa."""
     if jax.default_backend() == "cpu":
@@ -152,8 +169,8 @@ def flash_attention(
             x = jnp.pad(x, ((0, 0), (0, 0), (0, d_p - d)))
         return x
 
-    block_q = min(block_q, _cdiv(sq, 8) * 8 if sq < block_q else block_q)
-    block_kv = min(block_kv, _cdiv(sk, 8) * 8 if sk < block_kv else block_kv)
+    block_q = _pick_block(sq, block_q)
+    block_kv = _pick_block(sk, block_kv)
     out = _flash_bh(
         to_bh(q, sq), to_bh(k, sk), to_bh(v, sk), float(scale),
         int(block_q), int(block_kv),
