@@ -75,6 +75,9 @@ class UNet3DConfig:
     need_ip_adapter_face: bool = False  # IPAdapterFaceID branch (t2i attn2)
     ip_adapter_face_dim: int = 768
     keep_content_condition: bool = False  # temporal-layer condition-frame mask
+    need_spatial_position_emb: bool = False  # hw sincos emb in temporal rows
+    norm_spatial_length: bool = False
+    spatial_max_length: int = 2048
 
     @property
     def temb_dim(self) -> int:
@@ -126,7 +129,12 @@ def init_unet3d(key, cfg: UNet3DConfig, dtype=jnp.float32) -> Params:
         )
     if cfg.need_transformer_in and cfg.temporal_transformer:
         p["transformer_in"] = blk.init_temporal_transformer(
-            nxt(), ch0, cfg.attention_heads, cfg.femb_dim, dtype=dtype
+            nxt(), ch0, cfg.attention_heads, cfg.femb_dim, dtype=dtype,
+            need_spatial_position_emb=cfg.need_spatial_position_emb,
+        )
+    if cfg.need_spatial_position_emb:
+        p["spatial_position_embedding"] = init_timestep_embedding(
+            nxt(), ch0 * 2, cfg.femb_dim, dtype=dtype
         )
     if cfg.need_refer_emb:
         p["first_refer_emb_attns"] = blk.init_refer_fuse_attention(nxt(), ch0, dtype)
@@ -142,7 +150,8 @@ def init_unet3d(key, cfg: UNet3DConfig, dtype=jnp.float32) -> Params:
             sub["temp_conv"] = blk.init_temporal_conv(nxt(), c, dtype=dtype)
         if cfg.temporal_transformer and with_attn:
             sub["temp_attn"] = blk.init_temporal_transformer(
-                nxt(), c, cfg.attention_heads, cfg.femb_dim, dtype=dtype
+                nxt(), c, cfg.attention_heads, cfg.femb_dim, dtype=dtype,
+                need_spatial_position_emb=cfg.need_spatial_position_emb,
             )
         return sub
 
@@ -204,7 +213,8 @@ def init_unet3d(key, cfg: UNet3DConfig, dtype=jnp.float32) -> Params:
         mid["temp_conv_1"] = blk.init_temporal_conv(nxt(), mid_c, dtype=dtype)
     if cfg.temporal_transformer:
         mid["temp_attn"] = blk.init_temporal_transformer(
-            nxt(), mid_c, cfg.attention_heads, cfg.femb_dim, dtype=dtype
+            nxt(), mid_c, cfg.attention_heads, cfg.femb_dim, dtype=dtype,
+            need_spatial_position_emb=cfg.need_spatial_position_emb,
         )
     p["mid_block"] = mid
 
@@ -437,12 +447,35 @@ def unet3d_apply(
             )
         return x
 
+    spatial_pos_embs: Dict[Tuple[int, int], jnp.ndarray] = {}
+
+    def get_spatial_emb(hh, ww):
+        # per-resolution sincos grid (unet_3d_condition.py:955-971 +
+        # resize_spatial_position_emb — recomputed per scale instead of
+        # resized, which is exact for sincos grids)
+        if not cfg.need_spatial_position_emb:
+            return None
+        if (hh, ww) not in spatial_pos_embs:
+            from .embeddings import get_2d_sincos_pos_embed
+
+            grid = get_2d_sincos_pos_embed(
+                cfg.block_out_channels[0] * 2, hh, ww,
+                norm_length=cfg.norm_spatial_length,
+                max_length=cfg.spatial_max_length,
+            )
+            sp = jnp.asarray(grid, compute_dtype)
+            sp = timestep_embedding(params["spatial_position_embedding"], sp) \
+                if "spatial_position_embedding" in params else sp
+            spatial_pos_embs[(hh, ww)] = sp
+        return spatial_pos_embs[(hh, ww)]
+
     def run_temporal_attn(layer_p, x):
         if not use_temporal or "temp_attn" not in layer_p:
             return x
         return blk.temporal_transformer(
             layer_p["temp_attn"], x, femb, num_frames=num_frames, heads=heads,
             cond_mask=cond_mask, groups=groups,
+            spatial_position_emb=get_spatial_emb(x.shape[1], x.shape[2]),
         )
 
     # --- stem
@@ -454,6 +487,7 @@ def unet3d_apply(
         x = blk.temporal_transformer(
             params["transformer_in"], x, femb, num_frames=num_frames,
             heads=heads, cond_mask=cond_mask, groups=groups,
+            spatial_position_emb=get_spatial_emb(x.shape[1], x.shape[2]),
         )
     if (
         cfg.need_refer_emb

@@ -431,10 +431,15 @@ def init_temporal_transformer(
     heads: int,
     femb_dim: int,
     dtype=jnp.float32,
+    need_spatial_position_emb: bool = False,
 ) -> Params:
-    ks = jax.random.split(key, 5)
+    ks = jax.random.split(key, 6)
     inner = channels  # heads * (channels // heads)
+    p_extra = {}
+    if need_spatial_position_emb:
+        p_extra["spatial_emb_proj"] = init_linear(ks[5], femb_dim, inner, dtype=dtype)
     return {
+        **p_extra,
         "norm": init_norm(channels),
         "proj_in": init_linear(ks[0], channels, inner, dtype=dtype),
         "femb_proj": init_linear(ks[1], femb_dim, inner, dtype=dtype),
@@ -462,6 +467,7 @@ def temporal_transformer(
     cond_mask: Optional[jnp.ndarray] = None,
     groups: int = 32,
     femb_nonlinear: bool = True,
+    spatial_position_emb: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Attention over time per pixel: rows are (B*H*W, T, C).
 
@@ -480,6 +486,10 @@ def temporal_transformer(
     f = silu(femb) if femb_nonlinear else femb
     f = linear(p["femb_proj"], f)  # (b, T, inner)
     y = y + f[:, None, :, :].astype(y.dtype)
+    if spatial_position_emb is not None and "spatial_emb_proj" in p:
+        # (H*W, femb_dim) sincos grid projected and added per pixel row
+        sp = linear(p["spatial_emb_proj"], spatial_position_emb.astype(y.dtype))
+        y = y + sp[None, :, None, :]
     rows = y.reshape(b * h * w, num_frames, -1)
     blk = p["block"]
     rows = rows + attention(blk["attn1"], layer_norm(blk["norm1"], rows), heads=heads)

@@ -86,3 +86,34 @@ def test_text2video_no_condition(pipeline):
         context_frames=4, context_overlap=1, seed=5,
     )
     assert res.videos.shape == (1, 4, 32, 32, 3)
+
+
+def test_loader_tokenizer_matches_text_vocab():
+    """Regression: the fallback tokenizer must hash into the text model's
+    vocab — mismatch produced NaN embeddings via out-of-range jnp.take."""
+    import numpy as np
+
+    from musev_tpu.cli.text2video import _shrink_preset
+    from musev_tpu.configs.model_registry import get_model_preset
+    from musev_tpu.pipelines.loader import build_models
+    from musev_tpu.pipelines.pipeline import MusevPipeline
+
+    preset = _shrink_preset(get_model_preset("musev"))
+    models = build_models(preset)
+    assert models.tokenizer.vocab_size == preset.text_cfg.vocab_size
+    pipe = MusevPipeline(models)
+    emb = pipe.encode_prompt(["a (cat:1.2) jumping"])
+    assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_uniform_schedule_pipeline(pipeline):
+    res = pipeline.text2video(
+        "a cat", height=32, width=32, video_length=6, n_batch=1,
+        video_num_inference_steps=2, num_inference_steps=2,
+        context_schedule="uniform", context_frames=4, context_overlap=1,
+        seed=7,
+    )
+    import numpy as np
+
+    assert res.videos.shape[1] == 7
+    assert np.isfinite(res.videos).all()
