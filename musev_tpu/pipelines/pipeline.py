@@ -435,6 +435,8 @@ class MusevPipeline:
         motion_speed: float = 8.0,
         seed: int = 0,
         decode_segment: int = 16,
+        need_hist_match: bool = False,
+        prompt_only_use_image_prompt: bool = False,
         refer_image: Optional[np.ndarray] = None,  # (B, H, W, 3) [0,255]
         ip_adapter_image: Optional[np.ndarray] = None,  # (B, H, W, 3) [0,255]
         ip_adapter_scale: float = 1.0,
@@ -505,6 +507,13 @@ class MusevPipeline:
             refer_image, ip_adapter_image,
             t0=float(spec.scheduler.timesteps[0]),
         )
+        if prompt_only_use_image_prompt and "vision_clip_emb" in refer_cond:
+            # text tokens replaced by image-prompt tokens
+            # (pipeline_controlnet.py prompt_only_use_image_prompt flag)
+            clip = refer_cond["vision_clip_emb"]
+            half = clip.shape[0] // 2
+            text_uc = clip[:half].astype(self.dtype)
+            text_c = clip[half:].astype(self.dtype)
         if face_emb is not None and self.m.ip_face_proj_params is not None:
             emb = jnp.asarray(face_emb, self.dtype)
             cond_tok = mlp_proj(self.m.ip_face_proj_params, emb)
