@@ -141,7 +141,7 @@ def predict_noise(
         if spec.do_cfg and e.shape[0] == 2 * b:
             e = e.reshape(2, b, *e.shape[1:])
             e = jnp.repeat(e, n_win, axis=1)
-            return e.reshape(2 * b * n_win, *e.shape[3:])
+            return e.reshape(2 * b * n_win, *e.shape[2:])
         e = jnp.repeat(e, n_win, axis=0)
         return jnp.concatenate([e] * reps, axis=0)
 
