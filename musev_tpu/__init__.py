@@ -15,3 +15,20 @@ Design stance (vs. the torch/CUDA reference):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API: musev_tpu.MusevPipeline etc. without import cost."""
+    if name in ("MusevPipeline", "MusevModels", "VideoResult"):
+        from .pipelines import pipeline as _p
+
+        return getattr(_p, name)
+    if name == "build_models":
+        from .pipelines.loader import build_models
+
+        return build_models
+    if name in ("get_model_preset", "ModelPreset", "NEGATIVE_PROMPTS"):
+        from .configs import model_registry as _r
+
+        return getattr(_r, name)
+    raise AttributeError(name)

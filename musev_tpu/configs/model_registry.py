@@ -34,6 +34,7 @@ class ModelPreset:
     controlnet_cfg: Optional[ControlNetConfig] = None
     ip_adapter_clip_dim: int = 1024
     ip_adapter_tokens: int = 4
+    ip_adapter_face_id_dim: int = 512
     # checkpoint path slots (filled by the user / task config)
     unet_checkpoint: Optional[str] = None
     sd_base_checkpoint: Optional[str] = None
@@ -41,6 +42,7 @@ class ModelPreset:
     text_checkpoint: Optional[str] = None
     referencenet_checkpoint: Optional[str] = None
     ip_adapter_checkpoint: Optional[str] = None
+    ip_adapter_face_checkpoint: Optional[str] = None
     controlnet_checkpoint: Optional[str] = None
     tokenizer_path: Optional[str] = None
 

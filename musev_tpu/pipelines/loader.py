@@ -22,7 +22,7 @@ from ..models.clip_text import init_clip_text
 from ..models.clip_vision import init_clip_vision
 from ..models.controlnet import init_controlnet
 from ..models.init_util import fast_init
-from ..models.ip_adapter import init_image_proj
+from ..models.ip_adapter import init_image_proj, init_mlp_proj
 from ..models.referencenet import init_referencenet
 from ..models.unet3d import init_unet3d
 from ..models.vae import init_vae
@@ -119,6 +119,23 @@ def build_models(
             )
             logger.info("ip_adapter: %d proj + %d unet tensors", n1, n2)
         kwargs["ip_proj_params"] = ip_proj
+    if preset.unet_cfg.need_ip_adapter_face:
+        face_proj = init_mlp_proj(
+            jax.random.fold_in(key, 7),
+            id_dim=preset.ip_adapter_face_id_dim,
+            cross_dim=preset.unet_cfg.cross_attention_dim,
+            num_tokens=preset.ip_adapter_tokens,
+            dtype=dtype,
+        )
+        if preset.ip_adapter_face_checkpoint and os.path.exists(
+            preset.ip_adapter_face_checkpoint
+        ):
+            face_sd = _load_state_dict(preset.ip_adapter_face_checkpoint)
+            sd_weights.convert_ip_adapter_unet(
+                unet_params, preset.unet_cfg, face_sd, face=True
+            )
+            logger.info("ip_adapter_face tensors loaded")
+        kwargs["ip_face_proj_params"] = face_proj
     if preset.controlnet_cfg is not None:
         cnp = init(init_controlnet, preset.controlnet_cfg, 6)
         if preset.controlnet_checkpoint and os.path.exists(
