@@ -134,15 +134,10 @@ def group_norm(
     reshape to (..., G, C/G): reducing over a 10-wide minor axis is a
     pathological TPU layout (traced at ~14 GB/s), while sum-over-rows with the
     channel lane dim intact plus a (C, G) contraction runs at full bandwidth.
-    On TPU the statistics pass runs as a Pallas accumulation kernel
-    (ops/pallas/groupnorm.py, bit-exact vs this path).
+    A Pallas stats-kernel variant exists (ops/pallas/groupnorm.py, bit-exact)
+    but measured slower end-to-end: the custom call blocks XLA's fusion of
+    the normalize into neighboring ops. Kept opt-in for future use.
     """
-    if jax.default_backend() not in ("cpu",) and x.shape[-1] % num_groups == 0:
-        from ..ops.pallas.groupnorm import group_norm_pallas
-
-        y = group_norm_pallas(p, x, num_groups=num_groups, eps=eps)
-        if y is not None:
-            return y
     orig_dtype = x.dtype
     c = x.shape[-1]
     n = x.shape[0]
