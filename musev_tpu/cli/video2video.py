@@ -91,24 +91,31 @@ def main(argv=None):
         negative = resolve_negative_prompt(
             task.get("video_negative_prompt", args.negative_prompt)
         )
-        with VideoReader(video_path) as r:
-            n = int(r.num_frames)
-            if args.max_frames:
-                n = min(n, args.max_frames)
-            frames = r.read(0, n, sample_rate=args.sample_rate)
-        height = _round16(int(task.get("height", args.height or frames.shape[1])))
-        width = _round16(int(task.get("width", args.width or frames.shape[2])))
-        if (height, width) != frames.shape[1:3]:
+        reader = VideoReader(video_path)
+        height = _round16(int(task.get("height", args.height or reader.height)))
+        width = _round16(int(task.get("width", args.width or reader.width)))
+
+        def stream_windows():
             from PIL import Image
 
-            frames = np.stack(
-                [
-                    np.asarray(
-                        Image.fromarray(f).resize((width, height))
+            from ..io.video import PrefetchingWindows
+
+            count = 0
+            limit = args.max_frames or float("inf")
+            for win in PrefetchingWindows(
+                reader.windows(args.time_size, sample_rate=args.sample_rate)
+            ):
+                if count >= limit:
+                    break
+                if (height, width) != win.shape[1:3]:
+                    win = np.stack(
+                        [
+                            np.asarray(Image.fromarray(f).resize((width, height)))
+                            for f in win
+                        ]
                     )
-                    for f in frames
-                ]
-            )
+                count += win.shape[0]
+                yield win
         cond_path = task.get("condition_images")
         cond = _load_image(cond_path, height, width) if cond_path else None
         refer_path = task.get("refer_image")
@@ -119,7 +126,7 @@ def main(argv=None):
         processor = get_processor(args.controlnet_name)
         res = pipe.video2video(
             prompt,
-            frames,
+            stream_windows(),
             negative,
             controlnet_processor=processor,
             video_is_middle=bool(task.get("video_is_middle", args.video_is_middle)),
@@ -148,6 +155,7 @@ def main(argv=None):
             f"{args.model_name}_{name}_w={width}_h={height}"
             f"_t={args.time_size}_s={args.seed}.mp4",
         )
+        reader.close()
         frames_out = (res.videos[0] * 255).astype(np.uint8)
         write_video(out_path, frames_out, fps=args.fps)
         print(f"wrote {out_path} ({frames_out.shape[0]} frames)")

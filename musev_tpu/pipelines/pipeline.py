@@ -258,7 +258,7 @@ class MusevPipeline:
     def video2video(
         self,
         prompt: Union[str, Sequence[str]],
-        video_frames: np.ndarray,  # (T, H, W, 3) uint8 source or control video
+        video_frames,  # (T, H, W, 3) uint8 array OR iterator of windows
         negative_prompt: Union[str, Sequence[str]] = "",
         *,
         video_is_middle: bool = False,
@@ -304,9 +304,28 @@ class MusevPipeline:
         text_c = self.encode_prompt(prompt)
         text_uc = self.encode_prompt(negative_prompt)
 
-        video_frames = np.asarray(video_frames)
-        height = height or video_frames.shape[1]
-        width = width or video_frames.shape[2]
+        if isinstance(video_frames, np.ndarray) or hasattr(video_frames, "shape"):
+            video_frames = np.asarray(video_frames)
+            windows_iter = (
+                video_frames[lo : lo + time_size]
+                for lo in range(0, video_frames.shape[0], time_size)
+            )
+            first_shape = video_frames.shape[1:3]
+        else:
+            # streaming window iterator (VideoReader.windows /
+            # PrefetchingWindows): constant host memory, DecordVideoDataset
+            # contract (predictor.py:867-932)
+            windows_iter = iter(video_frames)
+            peek = next(windows_iter)
+            first_shape = peek.shape[1:3]
+
+            def _chain(first, rest):
+                yield first
+                yield from rest
+
+            windows_iter = _chain(peek, windows_iter)
+        height = height or first_shape[0]
+        width = width or first_shape[1]
         scale = self.m.vae_cfg.downscale
         h, w = height // scale, width // scale
         c_lat = self.m.unet_cfg.in_channels
@@ -332,13 +351,11 @@ class MusevPipeline:
         condition_latents = None
         last_control = None
         all_latents: List[jnp.ndarray] = []
-        t_total = video_frames.shape[0]
-        for lo in range(0, t_total, time_size):
-            window = video_frames[lo : lo + time_size]
+        for i_window, window in enumerate(windows_iter):
             if window.shape[0] < time_size:
                 break
             control = to_control(window)
-            if lo == 0:
+            if i_window == 0:
                 if n_vc > 0:
                     if condition_images is not None:
                         condition_latents = self.encode_images(condition_images)
@@ -399,7 +416,7 @@ class MusevPipeline:
                 **refer_cond,
             )
             full = splice_condition_frames(out, condition_latents, n_vc)
-            all_latents.append(full if lo == 0 else full[:, n_vc:])
+            all_latents.append(full if i_window == 0 else full[:, n_vc:])
             if n_vc > 0:
                 condition_latents = full[:, -n_vc:]
                 last_control = control[-1]
