@@ -37,10 +37,25 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--tiny", action="store_true", help="tiny model smoke run")
     ap.add_argument("--no-decode", action="store_true")
+    ap.add_argument("--preset", type=str, default="musev",
+                    choices=["musev", "musev_referencenet"],
+                    help="musev_referencenet adds ReferenceNet embs + "
+                         "IP-Adapter tokens to the denoise step (BASELINE "
+                         "config #2)")
     args = ap.parse_args()
 
     from musev_tpu.models.init_util import fast_init
-    from musev_tpu.models.unet3d import UNet3DConfig, init_unet3d, musev_config
+    from musev_tpu.models.referencenet import (
+        ReferenceNetConfig,
+        init_referencenet,
+        referencenet_apply,
+    )
+    from musev_tpu.models.unet3d import (
+        UNet3DConfig,
+        init_unet3d,
+        musev_config,
+        musev_referencenet_config,
+    )
     from musev_tpu.models.vae import VAEConfig, init_vae, vae_decode_video
     from musev_tpu.ops.context import make_window_plan
     from musev_tpu.ops.guidance import guidance_schedule
@@ -55,6 +70,10 @@ def main():
         vae_cfg = VAEConfig(block_out_channels=(16, 16, 32, 32),
                             layers_per_block=1, norm_num_groups=8)
         text_dim = 16
+    elif args.preset == "musev_referencenet":
+        cfg = musev_referencenet_config()
+        vae_cfg = VAEConfig()
+        text_dim = cfg.cross_attention_dim
     else:
         cfg = musev_config()
         vae_cfg = VAEConfig()
@@ -81,6 +100,22 @@ def main():
     tu = jax.random.normal(jax.random.fold_in(key, 4), (1, 77, text_dim), dtype)
     tc = jax.random.normal(jax.random.fold_in(key, 5), (1, 77, text_dim), dtype)
 
+    extra = {}
+    if args.preset == "musev_referencenet" and not args.tiny:
+        rcfg = ReferenceNetConfig()
+        rparams = jax.device_put(fast_init(init_referencenet, rcfg, seed=2, dtype=dtype))
+        refer_lat = jax.random.normal(jax.random.fold_in(key, 6), (1, hw, hw, 4), dtype)
+        down, mid, _ = referencenet_apply(
+            rparams, rcfg, refer_lat, 999.0, tc
+        )
+        extra = dict(
+            refer_embs=down,
+            mid_refer_emb=mid,
+            vision_clip_emb=jax.random.normal(
+                jax.random.fold_in(key, 7), (2, 4, text_dim), dtype
+            ),
+        )
+
     fn = jax.jit(denoise_loop, static_argnames=("spec",))
 
     def sync(x):
@@ -89,7 +124,7 @@ def main():
         _ = float(jnp.ravel(x)[0])
 
     # warmup/compile
-    out = fn(params, spec, lat, tu, tc, key, condition_latents=cond)
+    out = fn(params, spec, lat, tu, tc, key, condition_latents=cond, **extra)
     sync(out)
 
     times = []
@@ -97,7 +132,7 @@ def main():
         lat_i = lat + jnp.bfloat16(i * 1e-6)
         sync(lat_i)
         t0 = time.perf_counter()
-        out = fn(params, spec, lat_i, tu, tc, key, condition_latents=cond)
+        out = fn(params, spec, lat_i, tu, tc, key, condition_latents=cond, **extra)
         sync(out)
         times.append(time.perf_counter() - t0)
     denoise_s = min(times)
@@ -126,7 +161,8 @@ def main():
         "decode_seconds": round(decode_s, 3),
         "config": {
             "frames": args.frames, "size": args.size, "steps": args.steps,
-            "tiny": bool(args.tiny), "backend": jax.default_backend(),
+            "tiny": bool(args.tiny), "preset": args.preset,
+            "backend": jax.default_backend(),
         },
     }
     print(json.dumps(result))
