@@ -139,7 +139,9 @@ def main(argv=None):
     models = build_models(preset, dtype=dtype)
     pipe = MusevPipeline(models, scheduler_name=args.scheduler, dtype=dtype)
 
-    tasks = load_tasks(args.test_data_path)
+    from ..autoprompt import generate_prompts
+
+    tasks = generate_prompts(load_tasks(args.test_data_path))
     wanted = None if args.target_datas == "all" else set(args.target_datas.split(","))
     os.makedirs(args.output_dir, exist_ok=True)
 

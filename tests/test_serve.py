@@ -1,0 +1,51 @@
+import jax
+import numpy as np
+import pytest
+
+from musev_tpu.models.clip_text import CLIPTextConfig, init_clip_text
+from musev_tpu.models.unet3d import UNet3DConfig, init_unet3d
+from musev_tpu.models.vae import VAEConfig, init_vae
+from musev_tpu.pipelines.pipeline import MusevModels, MusevPipeline
+from musev_tpu.serve.app import OnlineInference
+from musev_tpu.utils.tokenizer import HashTokenizer
+
+
+@pytest.fixture(scope="module")
+def infer():
+    unet_cfg = UNet3DConfig(
+        block_out_channels=(16, 16, 32, 32), layers_per_block=1,
+        cross_attention_dim=24, attention_heads=4, norm_num_groups=8,
+    )
+    vae_cfg = VAEConfig(block_out_channels=(16, 16, 32, 32), layers_per_block=1,
+                        norm_num_groups=8)
+    text_cfg = CLIPTextConfig(vocab_size=500, hidden_size=24, num_layers=1,
+                              num_heads=4, intermediate_size=48)
+    k = jax.random.PRNGKey(0)
+    models = MusevModels(
+        unet_params=init_unet3d(jax.random.fold_in(k, 0), unet_cfg),
+        unet_cfg=unet_cfg,
+        vae_params=init_vae(jax.random.fold_in(k, 1), vae_cfg),
+        vae_cfg=vae_cfg,
+        text_params=init_clip_text(jax.random.fold_in(k, 2), text_cfg),
+        text_cfg=text_cfg,
+        tokenizer=HashTokenizer(500),
+    )
+    return OnlineInference(MusevPipeline(models))
+
+
+def test_online_t2v(infer):
+    img = (np.random.RandomState(0).rand(40, 48, 3) * 255).astype(np.uint8)
+    # shape guard: -1/-1 -> derive from the image, snapped to /8
+    out = infer.online_t2v_inference(
+        "a cat", img, seed=1, w=-1, h=-1, video_length=2, img_edge_ratio=1.0
+    )
+    assert out.dtype == np.uint8
+    assert out.shape[1] % 8 == 0 and out.shape[2] % 8 == 0
+    assert out.shape[2] == 48 and out.shape[1] == 40
+
+
+def test_online_t2v_no_image(infer):
+    out = infer.online_t2v_inference(
+        "a cat", None, seed=0, w=32, h=32, video_length=2
+    )
+    assert out.shape[1:3] == (32, 32)
