@@ -22,9 +22,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# per-backend cache dirs: TPU-session caches contain foreign-host CPU AOT
+# entries that segfault local CPU runs
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.environ.get("MUSEV_JAX_CACHE", "/tmp/musev_tpu_jax_cache"),
+    os.environ.get(
+        "MUSEV_JAX_CACHE",
+        "/tmp/musev_tpu_jax_cache"
+        + ("_cpu" if os.environ.get("JAX_PLATFORMS") == "cpu" else ""),
+    ),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

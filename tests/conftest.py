@@ -17,10 +17,36 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# torch MUST load before jax: several tests lazily import torch (checkpoint
+# converters) mid-suite, and resolving torch's bundled LLVM/OpenMP symbols
+# into an already-initialized XLA CPU backend intermittently segfaults later
+# XLA compiles (observed at random suite positions inside
+# backend_compile_and_load). Importing torch first pins symbol resolution.
+import torch  # noqa: E402,F401
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
-# persistent compile cache: the suite is compile-bound on CPU
-jax.config.update("jax_compilation_cache_dir", "/tmp/musev_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# persistent compile cache: the suite is compile-bound on CPU.
+# NOTE: never share this dir with TPU-session runs — the remote compile
+# helper writes CPU AOT entries for a different host CPU and loading them
+# segfaults (machine-feature mismatch).
+jax.config.update("jax_compilation_cache_dir", "/tmp/musev_tpu_jax_cache_cpu")
+# cache EVERY compile (min 0): this host intermittently segfaults inside
+# LLVM codegen (flaky virtualized CPU); a fully-warm cache makes suite runs
+# do near-zero fresh compiles, which is both faster and crash-resistant.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_live_executables_per_module():
+    """Segfault guard: after ~90 tests' worth of live compiled executables,
+    XLA:CPU's JIT loader deterministically segfaults loading even a trivial
+    new program (backend_compile_and_load; code-memory/relocation pressure).
+    Dropping executables between modules keeps the live set bounded; the
+    persistent cache makes the re-compiles cheap deserializes."""
+    yield
+    jax.clear_caches()
