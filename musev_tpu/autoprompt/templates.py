@@ -1,82 +1,43 @@
-"""Attribute-to-prompt templating for portrait generation.
+"""Attribute-to-prompt templating + task fan-out.
 
-Redesigned from musev/auto_prompt/ (PortraitAttr2PromptTemplate, human.py;
-attribute renderers, attributes/attributes.py; task fan-out,
-auto_prompt/util.py:generate_prompts called at text2video.py:829): a task
-whose prompt contains ``{}`` (or is empty) is expanded through a named
-template that renders its attribute fields into text; ``|``-separated
-attribute values fan one task out into several.
+Redesigned from musev/auto_prompt/ (PortraitAttr2PromptTemplate human.py:10-40;
+MultiAttr2PromptTemplate / KeywordMultiAttr2PromptTemplate attr2template.py;
+task fan-out auto_prompt/util.py called at text2video.py:829). The attribute
+zoo itself lives in ``attributes.py``; this module picks the template form
+per task and expands '|' alternatives into separate tasks.
+
+Template forms (attr2template.py module doc):
+  * plain text (no braces)       -> the prompt verbatim
+  * ``{key}`` braces             -> keys rendered via the attribute registry
+  * a single bare ``{}``         -> preset portrait attribute ordering
 """
 
 from __future__ import annotations
 
 import copy
-from typing import Callable, Dict, List, Optional
+from typing import Dict, List, Optional
 
-
-def render_value(value: str) -> str:
-    """'red,long' -> 'red, long'."""
-    if not value:
-        return ""
-    return ", ".join(v.strip() for v in str(value).split(",") if v.strip())
-
-
-def render_named(name: str) -> Callable[[str], str]:
-    """'black' with name 'hair' -> 'black hair'."""
-
-    def fn(value: str) -> str:
-        if not value:
-            return ""
-        return ", ".join(
-            f"{v.strip()} {name}" for v in str(value).split(",") if v.strip()
-        )
-
-    return fn
+from .attributes import (  # noqa: F401  (re-exported surface)
+    PORTRAIT_ATTRS,
+    REGISTRY,
+    get_attr,
+    has_key_brace,
+    register_attr,
+    render_template,
+)
 
 
 class PortraitTemplate:
-    """``a portrait of {attributes}`` with the reference's portrait fields."""
+    """``a portrait of {}`` with the reference's preset attribute order."""
 
     name = "portrait"
     template = "a portrait of {}"
-    # attribute key -> renderer; ordered as rendered
-    fields: Dict[str, Callable[[str], str]] = {
-        "gender": render_value,
-        "age": render_named("years old"),
-        "race": render_value,
-        "hair": render_named("hair"),
-        "eyes": render_named("eyes"),
-        "face": render_value,
-        "expression": render_value,
-        "clothes": render_value,
-        "background": render_value,
-        "style": render_value,
-        "prompt_extra": render_value,
-    }
 
     def __call__(self, task: Dict) -> List[str]:
-        # fan out on '|' alternatives per field
-        variants: List[Dict[str, str]] = [{}]
-        for key in self.fields:
-            raw = task.get(key)
-            if raw is None:
-                continue
-            options = [o.strip() for o in str(raw).split("|")]
-            variants = [
-                {**v, key: opt} for v in variants for opt in options
-            ]
-        prompts = []
-        for v in variants:
-            parts = [
-                self.fields[k](val) for k, val in v.items() if self.fields[k](val)
-            ]
-            body = ", ".join(parts)
-            template = task.get("template") or self.template
-            prompt = template.format(body) if "{}" in template else template
-            if task.get("prompt") and "{}" in task["prompt"]:
-                prompt = task["prompt"].replace("{}", body)
-            prompts.append(prompt)
-        return prompts or [task.get("prompt", "")]
+        template = task.get("template") or self.template
+        if task.get("prompt") and "{" in task["prompt"]:
+            template = task["prompt"]
+        return render_template(template, task)
 
 
 _TEMPLATES = {"portrait": PortraitTemplate()}

@@ -58,6 +58,16 @@ def parse_args(argv=None):
     p.add_argument("--negative_prompt", type=str, default="V2")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--scheduler", type=str, default="euler")
+    p.add_argument("--lora_path", action="append", default=None,
+                   help="LoRA safetensors, repeatable; 'path' or 'path:scale'")
+    p.add_argument("--textual_inversion", action="append", default=None,
+                   help="textual-inversion embedding, repeatable; 'path' or "
+                        "'path:trigger' (default trigger = file stem)")
+    p.add_argument("--lcm_lora_path", type=str, default=None,
+                   help="LCM-LoRA to fuse; implies --lcm")
+    p.add_argument("--lcm", action="store_true",
+                   help="use the LCM scheduler (with --lcm_lora_path fused)")
+    p.add_argument("--need_hist_match", action="store_true")
     p.add_argument("--fix_condition_images", action="store_true")
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--dtype", type=str, default="float32",
@@ -125,6 +135,7 @@ def main(argv=None):
     from ..pipelines.loader import build_models
     from ..pipelines.pipeline import MusevPipeline
 
+    scheduler = "lcm" if (args.lcm or args.lcm_lora_path) else args.scheduler
     preset = get_model_preset(
         args.model_name,
         unet_checkpoint=args.unet_checkpoint,
@@ -132,12 +143,15 @@ def main(argv=None):
         vae_checkpoint=args.vae_checkpoint,
         text_checkpoint=args.text_checkpoint,
         tokenizer_path=args.tokenizer_path,
+        lora_checkpoints=args.lora_path,
+        textual_inversion_checkpoints=args.textual_inversion,
+        lcm_lora_checkpoint=args.lcm_lora_path,
     )
     if args.tiny:
         preset = _shrink_preset(preset)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     models = build_models(preset, dtype=dtype)
-    pipe = MusevPipeline(models, scheduler_name=args.scheduler, dtype=dtype)
+    pipe = MusevPipeline(models, scheduler_name=scheduler, dtype=dtype)
 
     from ..autoprompt import generate_prompts
 
@@ -203,6 +217,7 @@ def main(argv=None):
             seed=seed,
             refer_image=refer,
             ip_adapter_image=ip_img,
+            need_hist_match=args.need_hist_match,
         )
         frames = (res.videos[0] * 255).astype(np.uint8)
         if native_available():

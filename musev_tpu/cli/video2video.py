@@ -32,9 +32,28 @@ def parse_args(argv=None):
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--video_is_middle", action="store_true")
     p.add_argument("--controlnet_name", type=str, default="none",
-                   help="condition processor: none|canny|<registered> "
+                   help="condition processor: none|canny|dwpose* (with "
+                        "--dwpose_det_onnx/--dwpose_pose_onnx)|<registered> "
                         "(reference controlnet_aux zoo; register custom via "
                         "musev_tpu.io.processors)")
+    p.add_argument("--dwpose_det_onnx", type=str,
+                   default=os.environ.get("MUSEV_DWPOSE_DET"),
+                   help="yolox person-detector onnx for the dwpose stage")
+    p.add_argument("--dwpose_pose_onnx", type=str,
+                   default=os.environ.get("MUSEV_DWPOSE_POSE"),
+                   help="rtmpose whole-body onnx for the dwpose stage")
+    p.add_argument("--lora_path", action="append", default=None,
+                   help="LoRA safetensors, repeatable; 'path' or 'path:scale'")
+    p.add_argument("--textual_inversion", action="append", default=None,
+                   help="textual-inversion embedding, repeatable; 'path' or "
+                        "'path:trigger'")
+    p.add_argument("--lcm_lora_path", type=str, default=None)
+    p.add_argument("--lcm", action="store_true")
+    p.add_argument("--need_hist_match", action="store_true")
+    p.add_argument("--record_mid_video", action="store_true",
+                   help="serial denoise: carry per-step tail latents/noises "
+                        "between windows (predictor.py:1262-1265)")
+    p.add_argument("--video_overlap", type=int, default=1)
     p.add_argument("--need_video2video", action="store_true")
     p.add_argument("--video_strength", type=float, default=0.8)
     p.add_argument("--n_vision_condition", type=int, default=1)
@@ -66,15 +85,31 @@ def main(argv=None):
     from ..pipelines.loader import build_models
     from ..pipelines.pipeline import MusevPipeline
 
+    scheduler = "lcm" if (args.lcm or args.lcm_lora_path) else args.scheduler
     preset = get_model_preset(
         args.model_name,
         unet_checkpoint=args.unet_checkpoint,
         controlnet_checkpoint=args.controlnet_checkpoint,
         tokenizer_path=args.tokenizer_path,
+        lora_checkpoints=args.lora_path,
+        textual_inversion_checkpoints=args.textual_inversion,
+        lcm_lora_checkpoint=args.lcm_lora_path,
     )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     models = build_models(preset, dtype=dtype)
-    pipe = MusevPipeline(models, scheduler_name=args.scheduler, dtype=dtype)
+    pipe = MusevPipeline(models, scheduler_name=scheduler, dtype=dtype)
+
+    if args.controlnet_name.startswith("dwpose"):
+        if args.dwpose_det_onnx and args.dwpose_pose_onnx:
+            from ..io.dwpose import register_dwpose
+
+            register_dwpose(args.dwpose_det_onnx, args.dwpose_pose_onnx)
+        else:
+            raise SystemExit(
+                "--controlnet_name dwpose* needs --dwpose_det_onnx (yolox) "
+                "and --dwpose_pose_onnx (rtmpose wholebody) onnx files, or "
+                "MUSEV_DWPOSE_DET/MUSEV_DWPOSE_POSE env vars"
+            )
 
     tasks = load_tasks(args.test_data_path)
     wanted = None if args.target_datas == "all" else set(args.target_datas.split(","))
@@ -149,6 +184,9 @@ def main(argv=None):
             controlnet_conditioning_scale=args.controlnet_conditioning_scale,
             refer_image=refer,
             seed=int(task.get("seed", args.seed)),
+            need_hist_match=args.need_hist_match,
+            record_mid_video=args.record_mid_video,
+            video_overlap=args.video_overlap,
         )
         out_path = os.path.join(
             args.output_dir,

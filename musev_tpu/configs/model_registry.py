@@ -9,7 +9,7 @@ configs plus the checkpoint-path slots a user fills in for their weights.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 from ..models.clip_text import CLIPTextConfig
 from ..models.clip_vision import CLIPVisionConfig
@@ -45,6 +45,13 @@ class ModelPreset:
     ip_adapter_face_checkpoint: Optional[str] = None
     controlnet_checkpoint: Optional[str] = None
     tokenizer_path: Optional[str] = None
+    # user-surface adapters (predictor.py:248-254 textual inversion,
+    # :296-306 LCM-LoRA, :311-327 LoRA): entries are "path", "path:scale"
+    # (lora) / "path:trigger" (textual inversion)
+    lora_checkpoints: Optional[List[str]] = None
+    textual_inversion_checkpoints: Optional[List[str]] = None
+    lcm_lora_checkpoint: Optional[str] = None
+    lcm_lora_scale: float = 1.0
 
 
 def get_model_preset(name: str, **overrides) -> ModelPreset:

@@ -39,7 +39,15 @@ def _collect_modules(key_map) -> Dict[str, Tuple[Tuple, str]]:
 def parse_kohya_lora(
     state_dict: Dict[str, np.ndarray]
 ) -> Dict[str, Dict[str, np.ndarray]]:
-    """Group flat kohya keys into {module: {down, up, alpha}} per network."""
+    """Group flat LoRA keys into {module: {down, up, alpha}} per network.
+
+    Accepts every common layout (the reference ships a kohya->diffusers
+    converter, convert_lora_safetensor_to_diffusers.py; here all three park
+    in one parser):
+      * kohya:      lora_unet_<mod>.lora_down.weight / .lora_up / .alpha
+      * peft:       unet.<mod>.lora_A[.default].weight / lora_B
+      * attn-procs: unet.<mod>.processor.to_q_lora.down.weight / .up
+    """
     mods: Dict[str, Dict[str, np.ndarray]] = {}
     for k, v in state_dict.items():
         if ".lora_down" in k:
@@ -48,10 +56,34 @@ def parse_kohya_lora(
         elif ".lora_up" in k:
             mod, _ = k.split(".lora_up", 1)
             mods.setdefault(mod, {})["up"] = np.asarray(v)
+        elif ".lora_A" in k:  # peft
+            mod, _ = k.split(".lora_A", 1)
+            mods.setdefault(mod, {})["down"] = np.asarray(v)
+        elif ".lora_B" in k:
+            mod, _ = k.split(".lora_B", 1)
+            mods.setdefault(mod, {})["up"] = np.asarray(v)
+        elif ".lora.down" in k:  # diffusers "<mod>.lora.down.weight"
+            mod = k.split(".lora.down", 1)[0]
+            mods.setdefault(mod, {})["down"] = np.asarray(v)
+        elif ".lora.up" in k:
+            mod = k.split(".lora.up", 1)[0]
+            mods.setdefault(mod, {})["up"] = np.asarray(v)
+        elif "_lora.down" in k:
+            mod = _strip_attn_proc(k.split(".down.weight", 1)[0])
+            mods.setdefault(mod, {})["down"] = np.asarray(v)
+        elif "_lora.up" in k:
+            mod = _strip_attn_proc(k.split(".up.weight", 1)[0])
+            mods.setdefault(mod, {})["up"] = np.asarray(v)
         elif k.endswith(".alpha"):
             mod = k[: -len(".alpha")]
             mods.setdefault(mod, {})["alpha"] = np.asarray(v)
     return mods
+
+
+def _strip_attn_proc(mod: str) -> str:
+    """'...attn1.processor.to_q_lora' -> '...attn1.to_q'."""
+    mod = mod.replace(".processor.", ".")
+    return re.sub(r"_lora$", "", mod).replace("to_out_lora", "to_out")
 
 
 def _delta(entry: Dict[str, np.ndarray]) -> Optional[np.ndarray]:
@@ -99,9 +131,16 @@ def fuse_lora(
         if mod.startswith("lora_unet_"):
             lookup, tree = unet_modules, params
             name = mod[len("lora_unet_") :]
-        elif mod.startswith("lora_te_") and text_params is not None:
+        elif mod.startswith("unet."):
+            lookup, tree = unet_modules, params
+            name = mod[len("unet.") :]
+        elif mod.startswith("lora_te") and text_params is not None:
+            # lora_te_ / lora_te1_ (sdxl splits te1/te2; te1 = CLIP-L)
             lookup, tree = text_modules, text_params
-            name = mod[len("lora_te_") :]
+            name = mod.split("_", 2)[2]
+        elif mod.startswith("text_encoder.") and text_params is not None:
+            lookup, tree = text_modules, text_params
+            name = mod[len("text_encoder.") :]
         else:
             unmatched.append(mod)
             continue

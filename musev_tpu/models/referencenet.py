@@ -135,8 +135,9 @@ def referencenet_apply(
 
     Args:
       sample: (B, H, W, C) reference-image latents (scaled VAE means).
-      timestep: scalar diffusion timestep (the reference uses the current
-        denoise t at step 0, pipeline_controlnet.py:1883-1899).
+      timestep: scalar diffusion timestep — the reference always runs the
+        ReferenceNet at t=0 (``ref_timestep = torch.zeros_like(timestep)``,
+        pipeline_controlnet.py:895); callers should pass 0.0.
       encoder_hidden_states: (B, S, D) text or clip-vision tokens
         (pipeline_controlnet.py:896-900).
 

@@ -76,6 +76,12 @@ class UNet3DConfig:
     ip_adapter_face_dim: int = 768
     keep_content_condition: bool = False  # temporal-layer condition-frame mask
     need_spatial_position_emb: bool = False  # hw sincos emb in temporal rows
+    # sparse-causal mask on temporal self-attention: None | "sparse_causal"
+    # (band of n_near previous frames + the first frame) | "sparse_causal_near"
+    # (band only). The reference declares this option (temporal_transformer.py
+    # :101, attention_util.py:29-74) but never applies it; here it is wired.
+    temporal_self_attn_mask: Optional[str] = None
+    temporal_attn_n_near: int = 1
     norm_spatial_length: bool = False
     spatial_max_length: int = 2048
 
@@ -476,6 +482,8 @@ def unet3d_apply(
             layer_p["temp_attn"], x, femb, num_frames=num_frames, heads=heads,
             cond_mask=cond_mask, groups=groups,
             spatial_position_emb=get_spatial_emb(x.shape[1], x.shape[2]),
+            self_attn_mask=cfg.temporal_self_attn_mask,
+            mask_n_near=cfg.temporal_attn_n_near,
         )
 
     # --- stem
@@ -488,6 +496,8 @@ def unet3d_apply(
             params["transformer_in"], x, femb, num_frames=num_frames,
             heads=heads, cond_mask=cond_mask, groups=groups,
             spatial_position_emb=get_spatial_emb(x.shape[1], x.shape[2]),
+            self_attn_mask=cfg.temporal_self_attn_mask,
+            mask_n_near=cfg.temporal_attn_n_near,
         )
     if (
         cfg.need_refer_emb

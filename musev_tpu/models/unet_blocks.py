@@ -162,24 +162,31 @@ def attention(
     ip_scale: float = 1.0,
     ip_face_context: Optional[jnp.ndarray] = None,
     ip_face_scale: float = 1.0,
+    bias: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Multi-head attention (N, S, C) with optional IP-Adapter dual-KV branch.
 
     The IP branch reproduces T2IReferencenetIPAdapterXFormersAttnProcessor
     (attention_processor.py:267-339): extra attention over projected image
     tokens, scaled and added to the text-attention output.
+    ``bias``: additive attention bias broadcastable to (N, H, Sq, Sk) —
+    used for the sparse-causal temporal mask.
     """
     ctx = x if context is None else context
     qp = linear(p["to_q"], x)
     kp = linear(p["to_k"], ctx)
     vp = linear(p["to_v"], ctx)
+    from ..parallel.context import mesh_active
+
     if (
         context is None
         and ip_context is None
         and ip_face_context is None
+        and bias is None
         and x.shape[1] <= 64
         and qp.shape[-1] % heads == 0
         and jax.default_backend() not in ("cpu", "gpu")
+        and not mesh_active()  # pallas custom calls can't be SPMD-partitioned
     ):
         # temporal rows (short T): packed-lane pallas kernel — q/k/v stay
         # (N, T, C), all heads computed in-kernel; 5.8-9.8x faster on v5e
@@ -190,7 +197,7 @@ def attention(
     q = _heads_split(qp, heads)
     k = _heads_split(kp, heads)
     v = _heads_split(vp, heads)
-    out = sdpa(q, k, v)
+    out = sdpa(q, k, v, bias=bias)
     if ip_context is not None and "to_k_ip" in p and ip_scale > 0:
         ip_k = _heads_split(linear(p["to_k_ip"], ip_context), heads)
         ip_v = _heads_split(linear(p["to_v_ip"], ip_context), heads)
@@ -485,12 +492,19 @@ def temporal_transformer(
     groups: int = 32,
     femb_nonlinear: bool = True,
     spatial_position_emb: Optional[jnp.ndarray] = None,
+    self_attn_mask: Optional[str] = None,
+    mask_n_near: int = 1,
 ) -> jnp.ndarray:
     """Attention over time per pixel: rows are (B*H*W, T, C).
 
     x (B*T, H, W, C); femb (B, T, femb_dim). GN runs per batch element over
     the (T, H, W, C) video (matching the reference's 5-D GroupNorm at
     temporal_transformer.py:117-119, :239).
+
+    ``self_attn_mask``: "sparse_causal" (band + first frame) or
+    "sparse_causal_near" (band only) restricts which frames each frame
+    attends to (reference attention_util.py:29-74 — declared upstream at
+    temporal_transformer.py:101 but never applied; wired here).
     """
     bt, h, w, c = x.shape
     b = bt // num_frames
@@ -508,9 +522,24 @@ def temporal_transformer(
         sp = linear(p["spatial_emb_proj"], spatial_position_emb.astype(y.dtype))
         y = y + sp[None, :, None, :]
     rows = y.reshape(b * h * w, num_frames, -1)
+    attn_bias = None
+    if self_attn_mask is not None:
+        from ..ops.attention_mask import sparse_causal_mask
+
+        mask = sparse_causal_mask(
+            num_frames, n_near=mask_n_near,
+            attend_first=(self_attn_mask == "sparse_causal"),
+        )
+        attn_bias = jnp.asarray(mask)[None, None]  # (1, 1, T, T)
     blk = p["block"]
-    rows = rows + attention(blk["attn1"], layer_norm(blk["norm1"], rows), heads=heads)
-    rows = rows + attention(blk["attn2"], layer_norm(blk["norm2"], rows), heads=heads)
+    rows = rows + attention(
+        blk["attn1"], layer_norm(blk["norm1"], rows), heads=heads,
+        bias=attn_bias,
+    )
+    rows = rows + attention(
+        blk["attn2"], layer_norm(blk["norm2"], rows), heads=heads,
+        bias=attn_bias,
+    )
     rows = rows + geglu_ff(blk["ff"], layer_norm(blk["norm3"], rows))
     y = rows.reshape(b, h * w, num_frames, -1)
     y = linear(p["proj_out"], y)

@@ -51,10 +51,13 @@ def sdpa(
 ) -> jnp.ndarray:
     """Attention over (B, S, H, D) tensors."""
     if impl == "auto":
+        from ..parallel.context import mesh_active
+
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         impl = (
             "flash"
             if on_tpu and bias is None and q.shape[1] >= _FLASH_MIN_SEQ
+            and not mesh_active()  # custom calls aren't SPMD-partitionable
             else "xla"
         )
     if impl == "flash":

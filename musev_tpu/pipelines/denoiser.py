@@ -54,9 +54,21 @@ class DenoiseSpec:
     # step and fused into the next shot.
     video_overlap: int = 0
     record_mid_video: bool = False
+    # per-step decoded-latents debugging surface (reference
+    # need_middle_latents, pipeline_controlnet.py:2138-2139)
+    record_step_latents: bool = False
+    # img2img strength: denoise only steps [start_step, num_steps) —
+    # the reference truncates timesteps via get_timesteps(strength)
+    # (pipeline_controlnet.py:1627-1641)
+    start_step: int = 0
     controlnet_cfg: Optional["ControlNetConfig"] = None
     controlnet_scale: float = 1.0
     dp_axis: Optional[str] = None  # mesh axis to shard the window batch over
+    # mesh axis for tensor parallelism: params are pre-sharded with
+    # parallel.sharding.shard_params_tp (Megatron column/row splits) and XLA
+    # propagates; setting this also routes attention off the Pallas kernels
+    # (custom calls are not auto-partitionable)
+    tp_axis: Optional[str] = None
 
     def __hash__(self):
         return hash(
@@ -65,7 +77,9 @@ class DenoiseSpec:
              self.motion_speed, self.ip_adapter_scale,
              self.ip_adapter_face_scale, self.skip_temporal,
              self.video_overlap, self.record_mid_video,
-             self.controlnet_cfg, self.controlnet_scale, self.dp_axis)
+             self.record_step_latents, self.start_step,
+             self.controlnet_cfg, self.controlnet_scale, self.dp_axis,
+             self.tp_axis)
         )
 
     def __eq__(self, other):
@@ -109,6 +123,33 @@ def predict_noise(
     [0, 1] (condition frames' control maps at the head, reference
     pipeline_controlnet.py:1947-2021). Returns CFG-combined noise (B, T, ...).
     """
+    from ..parallel.context import sharding_ctx
+
+    with sharding_ctx(dp=spec.dp_axis, tp=spec.tp_axis):
+        return _predict_noise_inner(
+            params, spec, latents, step_index, text_uc, text_c,
+            condition_latents, vision_clip_emb, ip_adapter_face_emb,
+            refer_embs, mid_refer_emb, refer_self_attn_embs,
+            controlnet_params, control_images,
+        )
+
+
+def _predict_noise_inner(
+    params,
+    spec: DenoiseSpec,
+    latents: jnp.ndarray,
+    step_index,
+    text_uc: Optional[jnp.ndarray],
+    text_c: jnp.ndarray,
+    condition_latents: Optional[jnp.ndarray] = None,
+    vision_clip_emb: Optional[jnp.ndarray] = None,
+    ip_adapter_face_emb: Optional[jnp.ndarray] = None,
+    refer_embs=None,
+    mid_refer_emb=None,
+    refer_self_attn_embs=None,
+    controlnet_params=None,
+    control_images=None,
+) -> jnp.ndarray:
     b, t, h, w, c = latents.shape
     plan = spec.plan
     n_win, wlen = plan.n_windows, plan.window_size
@@ -350,11 +391,22 @@ def denoise_loop(
         ys = None
         if spec.record_mid_video and ov > 0:
             ys = (prev[:, -ov:], noise_pred[:, -ov:])
+        if spec.record_step_latents:
+            ys = (ys, prev) if ys is not None else prev
         return (prev, state, k), ys
 
     (final, _, _), recorded = jax.lax.scan(
-        step_fn, (latents, sched_state, key), jnp.arange(num_steps, dtype=jnp.int32)
+        step_fn,
+        (latents, sched_state, key),
+        jnp.arange(spec.start_step, num_steps, dtype=jnp.int32),
     )
+    step_latents = None
+    if spec.record_step_latents:
+        if spec.record_mid_video and ov > 0:
+            recorded, step_latents = recorded
+        else:
+            step_latents, recorded = recorded, None
+    extras = []
     if spec.record_mid_video and ov > 0:
         rec_lat, rec_noise = recorded
         # prepend the initial tail / a zero slot so indices line up with the
@@ -363,7 +415,11 @@ def denoise_loop(
         rec_noise = jnp.concatenate(
             [jnp.zeros_like(rec_noise[:1]), rec_noise], axis=0
         )
-        return final, (rec_lat, rec_noise)
+        extras.append((rec_lat, rec_noise))
+    if spec.record_step_latents:
+        extras.append(step_latents)
+    if extras:
+        return (final, *extras)
     return final
 
 

@@ -48,6 +48,19 @@ def _load_state_dict(path: str):
     return sd_weights.load_torch_checkpoint(path)
 
 
+def _load_sd_base(path: str):
+    """Load a T2I base checkpoint: diffusers layout, or an original-LDM
+    ``.ckpt`` (auto-detected and split, convert_from_ckpt.py equivalent).
+    Returns (unet_sd, vae_sd_or_None, text_sd_or_None)."""
+    from ..models.ldm_convert import is_ldm_checkpoint, split_ldm_checkpoint
+
+    sd = _load_state_dict(path)
+    if is_ldm_checkpoint(sd):
+        parts = split_ldm_checkpoint(sd)
+        return parts["unet"], parts["vae"] or None, parts["text"] or None
+    return sd, None, None
+
+
 def build_models(
     preset: ModelPreset,
     seed: int = 0,
@@ -71,12 +84,23 @@ def build_models(
         )
         logger.info("unet: %d tensors loaded, %d leftover", n, len(leftover))
     if preset.sd_base_checkpoint and os.path.exists(preset.sd_base_checkpoint):
-        # T2I base overwrite of spatial weights (unet_loader.py:41-80)
+        # T2I base overwrite of spatial weights (unet_loader.py:41-80);
+        # original-LDM .ckpt bases are auto-split (convert_from_ckpt.py)
+        base_sd, ldm_vae_sd, ldm_text_sd = _load_sd_base(
+            preset.sd_base_checkpoint
+        )
         n, _ = sd_weights.merge_sd_base_weights(
-            unet_params, preset.unet_cfg,
-            _load_state_dict(preset.sd_base_checkpoint),
+            unet_params, preset.unet_cfg, base_sd
         )
         logger.info("sd base merge: %d tensors", n)
+        if ldm_vae_sd and not preset.vae_checkpoint:
+            n, _ = sd_weights.convert_vae(vae_params, preset.vae_cfg, ldm_vae_sd)
+            logger.info("ldm vae: %d tensors", n)
+        if ldm_text_sd and not preset.text_checkpoint:
+            sd_weights.convert_clip_text(
+                text_params, preset.text_cfg, ldm_text_sd
+            )
+            logger.info("ldm text encoder loaded")
     if preset.vae_checkpoint and os.path.exists(preset.vae_checkpoint):
         sd_weights.convert_vae(
             vae_params, preset.vae_cfg, _load_state_dict(preset.vae_checkpoint)
@@ -149,6 +173,55 @@ def build_models(
         kwargs["controlnet_params"] = cnp
         kwargs["controlnet_cfg"] = preset.controlnet_cfg
 
+    tokenizer = _tokenizer_for(preset)
+
+    # textual-inversion negative embeddings: appended to the token table so
+    # the V2/V4 negative-prompt triggers actually bind
+    # (predictor.py:248-254 loads four of these by default)
+    if preset.textual_inversion_checkpoints:
+        from ..utils.textual_inversion import (
+            InversionTokenizer,
+            add_textual_inversion,
+            load_inversion_state_dict,
+        )
+
+        tokenizer = InversionTokenizer(tokenizer)
+        for spec in preset.textual_inversion_checkpoints:
+            path, trigger = _split_path_arg(spec)
+            if not os.path.exists(path):
+                logger.warning("textual inversion missing: %s", path)
+                continue
+            if trigger is None:
+                trigger = os.path.splitext(os.path.basename(path))[0]
+            emb = load_inversion_state_dict(_load_state_dict(path))
+            add_textual_inversion(text_params, tokenizer, trigger, emb)
+            logger.info(
+                "textual inversion %r: %d vectors", trigger, emb.shape[0]
+            )
+
+    # LoRA fuse-at-load with per-entry scale (model_util.py:108-263)
+    from ..models.lora import fuse_lora
+
+    lora_entries = list(preset.lora_checkpoints or [])
+    if preset.lcm_lora_checkpoint:
+        lora_entries.append(
+            f"{preset.lcm_lora_checkpoint}:{preset.lcm_lora_scale}"
+        )
+    for spec in lora_entries:
+        path, scale = _split_path_arg(spec)
+        scale = 1.0 if scale is None else float(scale)
+        if not os.path.exists(path):
+            logger.warning("lora missing: %s", path)
+            continue
+        n, unmatched = fuse_lora(
+            unet_params, preset.unet_cfg, _load_state_dict(path),
+            scale=scale, text_params=text_params, text_cfg=preset.text_cfg,
+        )
+        logger.info(
+            "lora %s: %d modules fused (scale %.3g), %d unmatched",
+            path, n, scale, len(unmatched),
+        )
+
     return MusevModels(
         unet_params=unet_params,
         unet_cfg=preset.unet_cfg,
@@ -156,6 +229,17 @@ def build_models(
         vae_cfg=preset.vae_cfg,
         text_params=text_params,
         text_cfg=preset.text_cfg,
-        tokenizer=_tokenizer_for(preset),
+        tokenizer=tokenizer,
         **kwargs,
     )
+
+
+def _split_path_arg(spec: str):
+    """'path' or 'path:suffix' -> (path, suffix); Windows-drive-safe is not a
+    concern here, but real paths may contain ':' only in the suffix position."""
+    if ":" in spec:
+        path, suffix = spec.rsplit(":", 1)
+        if os.path.exists(spec) and not os.path.exists(path):
+            return spec, None
+        return path, suffix
+    return spec, None

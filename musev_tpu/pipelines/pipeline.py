@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import List, Optional, Sequence, Union
+from typing import List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -70,10 +70,19 @@ class MusevModels:
 
 @dataclasses.dataclass
 class VideoResult:
-    """videos in [0, 1], shape (B, T, H, W, 3); latents (B, T, h, w, 4)."""
+    """videos in [0, 1], shape (B, T, H, W, 3); latents (B, T, h, w, 4).
+
+    Full VideoPipelineOutput surface (pipeline_controlnet.py:68-77):
+    ``videos_mid`` — per-step decoded videos when ``need_middle_latents``;
+    ``mid_video_latents``/``mid_video_noises`` — serial-denoise carries
+    (num_steps+1, B, overlap, h, w, C) recorded when ``record_mid_video``.
+    """
 
     videos: np.ndarray
     latents: np.ndarray
+    videos_mid: Optional[np.ndarray] = None
+    mid_video_latents: Optional[np.ndarray] = None
+    mid_video_noises: Optional[np.ndarray] = None
 
 
 class MusevPipeline:
@@ -90,9 +99,80 @@ class MusevPipeline:
         self.scheduler_name = scheduler_name
         self.dtype = dtype
         self.dp_axis = dp_axis
+        self._loras: List[tuple] = []  # (state_dict, scale) fuse log
         self._denoise_jit = jax.jit(
             denoise_loop, static_argnames=("spec",)
         )
+
+    # -- adapters (LoRA / textual inversion / LCM) --------------------------
+
+    def load_lora(self, lora, scale: float = 1.0) -> int:
+        """Fuse a kohya/diffusers LoRA into the UNet (+ text encoder) by
+        weight delta with stored undo (predictor.py:311-327,
+        model_util.py:108-263). ``lora``: path or state dict."""
+        from ..models.lora import fuse_lora
+        from ..models.sd_weights import load_safetensors, load_torch_checkpoint
+
+        if isinstance(lora, str):
+            lora = (
+                load_safetensors(lora)
+                if lora.endswith(".safetensors")
+                else load_torch_checkpoint(lora)
+            )
+        n, unmatched = fuse_lora(
+            self.m.unet_params, self.m.unet_cfg, lora, scale=scale,
+            text_params=self.m.text_params, text_cfg=self.m.text_cfg,
+        )
+        self._loras.append((lora, scale))
+        return n
+
+    def unload_lora(self) -> None:
+        """Subtract every fused LoRA delta (reference unload_lora,
+        model_util.py:468)."""
+        from ..models.lora import fuse_lora
+
+        for lora, scale in reversed(self._loras):
+            fuse_lora(
+                self.m.unet_params, self.m.unet_cfg, lora, scale=-scale,
+                text_params=self.m.text_params, text_cfg=self.m.text_cfg,
+            )
+        self._loras.clear()
+
+    def load_textual_inversion(self, source, trigger: Optional[str] = None):
+        """Append a learned embedding to the token table and bind its
+        trigger word (predictor.py:248-254)."""
+        import os as _os
+
+        from ..models.sd_weights import load_safetensors, load_torch_checkpoint
+        from ..utils.textual_inversion import (
+            InversionTokenizer,
+            add_textual_inversion,
+            load_inversion_state_dict,
+        )
+
+        if isinstance(source, str):
+            if trigger is None:
+                trigger = _os.path.splitext(_os.path.basename(source))[0]
+            sd = (
+                load_safetensors(source)
+                if source.endswith(".safetensors")
+                else load_torch_checkpoint(source)
+            )
+            emb = load_inversion_state_dict(sd)
+        else:
+            emb = np.asarray(source)
+        if trigger is None:
+            raise ValueError("trigger required when passing a raw embedding")
+        if not isinstance(self.m.tokenizer, InversionTokenizer):
+            self.m.tokenizer = InversionTokenizer(self.m.tokenizer)
+        add_textual_inversion(self.m.text_params, self.m.tokenizer, trigger, emb)
+
+    def enable_lcm(self, lcm_lora=None, scale: float = 1.0) -> None:
+        """Switch to the LCM scheduler, optionally fusing an LCM-LoRA first
+        (predictor.py:296-306)."""
+        if lcm_lora is not None:
+            self.load_lora(lcm_lora, scale=scale)
+        self.scheduler_name = "lcm"
 
     # -- encoders ----------------------------------------------------------
 
@@ -100,6 +180,21 @@ class MusevPipeline:
         fn = partial(clip_text_encode, self.m.text_params, self.m.text_cfg)
         emb = encode_weighted_prompt(self.m.tokenizer, fn, list(prompts))
         return emb.astype(self.dtype)
+
+    def encode_prompt_pair(
+        self, prompts: Sequence[str], negative_prompts: Sequence[str]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Encode cond + uncond in ONE call so long-prompt chunk padding
+        lands both at the same sequence length (the reference's
+        get_weighted_text_embeddings pads prompt and uncond to a joint
+        max_length, text_emb_util.py:218-351). Returns (text_c, text_uc)."""
+        fn = partial(clip_text_encode, self.m.text_params, self.m.text_cfg)
+        both = list(prompts) + list(negative_prompts)
+        emb = encode_weighted_prompt(self.m.tokenizer, fn, both).astype(
+            self.dtype
+        )
+        b = len(prompts)
+        return emb[:b], emb[b:]
 
     def encode_images(self, images: np.ndarray) -> jnp.ndarray:
         """(B, T, H, W, 3) uint8/float in [0,255] -> latents (B, T, h, w, 4)."""
@@ -197,12 +292,17 @@ class MusevPipeline:
         self,
         refer_image: Optional[np.ndarray],
         ip_adapter_image: Optional[np.ndarray],
-        t0: float,
+        text_c: Optional[jnp.ndarray] = None,
     ) -> dict:
         """ReferenceNet block embs + IP-Adapter clip tokens
         (pipeline get_referencenet_emb :867-964, get_ip_adapter_image_emb
         :686-780). Uncond halves: refer embs are shared (uncond = cond copy,
-        :845); IP tokens use proj(zeros) stacked as [uncond; cond]."""
+        :845); IP tokens use proj(zeros) stacked as [uncond; cond].
+
+        The ReferenceNet forward runs at timestep 0 (``ref_timestep =
+        torch.zeros_like``, pipeline_controlnet.py:895); its cross-attention
+        context is the clip-vision image tokens when available, otherwise the
+        cond text embeddings (:896-900)."""
         out: dict = {}
         m = self.m
         if (
@@ -211,11 +311,13 @@ class MusevPipeline:
             and m.referencenet_cfg is not None
         ):
             lat = self.encode_images(np.asarray(refer_image)[:, None])[:, 0]
-            text_stub = jnp.zeros(
-                (lat.shape[0], 1, m.referencenet_cfg.cross_attention_dim),
-                self.dtype,
-            )
-            clip_ctx = text_stub
+            if text_c is not None:
+                clip_ctx = text_c.astype(self.dtype)
+            else:
+                clip_ctx = jnp.zeros(
+                    (lat.shape[0], 1, m.referencenet_cfg.cross_attention_dim),
+                    self.dtype,
+                )
             if (
                 m.clip_vision_params is not None
                 and m.ip_proj_params is not None
@@ -230,7 +332,7 @@ class MusevPipeline:
                 clip_ctx = image_proj(m.ip_proj_params, pooled).astype(self.dtype)
             down, mid, _ = referencenet_apply(
                 m.referencenet_params, m.referencenet_cfg,
-                lat.astype(self.dtype), t0, clip_ctx,
+                lat.astype(self.dtype), 0.0, clip_ctx,
             )
             out["refer_embs"] = down
             out["mid_refer_emb"] = mid
@@ -286,6 +388,10 @@ class MusevPipeline:
         ip_adapter_scale: float = 1.0,
         seed: int = 0,
         decode_segment: int = 16,
+        need_hist_match: bool = False,
+        record_mid_video: bool = False,
+        video_overlap: int = 1,
+        need_middle_latents: bool = False,
     ) -> VideoResult:
         """Pose/Video2Video: shot loop over source-video windows
         (run_pipe_video2video, predictor.py:760-1290).
@@ -293,24 +399,44 @@ class MusevPipeline:
         ``video_is_middle=True`` means the source video already IS the control
         signal (pose maps); otherwise ``controlnet_processor`` (a callable
         frames->maps, e.g. a dwpose stage) is applied per window.
+
+        Batch>1: ``prompt`` may be a list; ``video_frames`` is then either one
+        shared source video (broadcast across the batch, matching the
+        reference's single ``video`` arg) or a (B, T, H, W, 3) array.
+
+        ``record_mid_video``: serial-denoise — the tail ``video_overlap``
+        frames of per-step latents/noises carry into the next window's
+        denoise (predictor.py:1262-1265, fuse_part_tensor fusion).
         """
         if isinstance(prompt, str):
             prompt = [prompt]
         if isinstance(negative_prompt, str):
             negative_prompt = [negative_prompt] * len(prompt)
+        elif len(negative_prompt) == 1:
+            negative_prompt = list(negative_prompt) * len(prompt)
         b = len(prompt)
-        assert b == 1, "video2video currently supports batch 1"
         key = jax.random.PRNGKey(seed)
-        text_c = self.encode_prompt(prompt)
-        text_uc = self.encode_prompt(negative_prompt)
+        text_c, text_uc = self.encode_prompt_pair(prompt, negative_prompt)
 
         if isinstance(video_frames, np.ndarray) or hasattr(video_frames, "shape"):
             video_frames = np.asarray(video_frames)
-            windows_iter = (
-                video_frames[lo : lo + time_size]
-                for lo in range(0, video_frames.shape[0], time_size)
-            )
-            first_shape = video_frames.shape[1:3]
+            if video_frames.ndim == 5:  # (B, T, H, W, 3): batched sources
+                if video_frames.shape[0] != b:
+                    raise ValueError(
+                        f"batched video_frames B={video_frames.shape[0]} != "
+                        f"prompt batch {b}"
+                    )
+                windows_iter = (
+                    video_frames[:, lo : lo + time_size]
+                    for lo in range(0, video_frames.shape[1], time_size)
+                )
+                first_shape = video_frames.shape[2:4]
+            else:
+                windows_iter = (
+                    video_frames[lo : lo + time_size]
+                    for lo in range(0, video_frames.shape[0], time_size)
+                )
+                first_shape = video_frames.shape[1:3]
         else:
             # streaming window iterator (VideoReader.windows /
             # PrefetchingWindows): constant host memory, DecordVideoDataset
@@ -331,9 +457,10 @@ class MusevPipeline:
         c_lat = self.m.unet_cfg.in_channels
 
         def to_control(frames):
+            """frames: (B, T, H, W, 3) -> control maps, same shape."""
             if video_is_middle or controlnet_processor is None:
                 return frames
-            return controlnet_processor(frames)
+            return np.stack([controlnet_processor(f) for f in np.asarray(frames)])
 
         n_vc = n_vision_condition
         spec = self._make_spec(
@@ -347,12 +474,39 @@ class MusevPipeline:
                 spec, controlnet_cfg=self.m.controlnet_cfg,
                 controlnet_scale=controlnet_conditioning_scale,
             )
+        if record_mid_video:
+            spec = dataclasses.replace(
+                spec, record_mid_video=True, video_overlap=video_overlap
+            )
+        if need_middle_latents:
+            spec = dataclasses.replace(spec, record_step_latents=True)
+        if need_video2video:
+            # strength truncates the schedule: only steps [start, N) run
+            # (reference get_timesteps, pipeline_controlnet.py:1627-1641)
+            start = min(
+                int(video_num_inference_steps * (1.0 - video_strength)),
+                video_num_inference_steps - 1,
+            )
+            spec = dataclasses.replace(spec, start_step=start)
+
+        # reference conditioning is loop-invariant: computed once
+        # (the reference also runs ReferenceNet once per pipeline call,
+        # pipeline_controlnet.py:1883-1899)
+        refer_cond = self._prepare_reference_conditioning(
+            refer_image, ip_adapter_image, text_c
+        )
 
         condition_latents = None
         last_control = None
+        last_mid_latents = last_mid_noises = None
+        mid_lat_np = mid_noise_np = None
         all_latents: List[jnp.ndarray] = []
+        step_latents_all: List[jnp.ndarray] = []
         for i_window, window in enumerate(windows_iter):
-            if window.shape[0] < time_size:
+            window = np.asarray(window)
+            if window.ndim == 4:  # (T, H, W, 3) shared across the batch
+                window = np.broadcast_to(window[None], (b, *window.shape))
+            if window.shape[1] < time_size:
                 break
             control = to_control(window)
             if i_window == 0:
@@ -367,26 +521,19 @@ class MusevPipeline:
                             guidance_scale=guidance_scale,
                             noise_type=noise_type, w_ind_noise=w_ind_noise,
                         )
-                cond_control = control[:1] if n_vc > 0 else None  # (n_vc,H,W,3)
+                cond_control = control[:, :1] if n_vc > 0 else None
             else:
-                cond_control = last_control[None] if n_vc > 0 else None
+                cond_control = last_control[:, None] if n_vc > 0 else None
 
             key, sub = jax.random.split(key)
+            noise = make_noise(
+                sub, (b, time_size, h, w, c_lat), noise_type=noise_type,
+                w_ind_noise=w_ind_noise,
+            ).astype(self.dtype)
             if need_video2video:
-                src_lat = self.encode_images(window[None])
-                noise = make_noise(
-                    sub, (b, time_size, h, w, c_lat), noise_type=noise_type,
-                    w_ind_noise=w_ind_noise,
-                ).astype(self.dtype)
-                start = int(
-                    video_num_inference_steps * (1.0 - video_strength)
-                )
-                latents = spec.scheduler.add_noise(src_lat, noise, start)
+                src_lat = self.encode_images(window)
+                latents = spec.scheduler.add_noise(src_lat, noise, spec.start_step)
             else:
-                noise = make_noise(
-                    sub, (b, time_size, h, w, c_lat), noise_type=noise_type,
-                    w_ind_noise=w_ind_noise,
-                ).astype(self.dtype)
                 if condition_latents is not None:
                     cond_mean = jnp.mean(condition_latents, axis=1, keepdims=True)
                     noise = (
@@ -399,31 +546,67 @@ class MusevPipeline:
             if self.m.controlnet_params is not None and spec.controlnet_cfg is not None:
                 parts = ([cond_control] if cond_control is not None else []) + [control]
                 ctrl = jnp.asarray(
-                    np.concatenate(parts, axis=0)[None], jnp.float32
+                    np.concatenate(parts, axis=1), jnp.float32
                 ) / 255.0
                 ctrl_params = self.m.controlnet_params
 
-            refer_cond = self._prepare_reference_conditioning(
-                refer_image, ip_adapter_image,
-                t0=float(spec.scheduler.timesteps[0]),
-            )
             key, sub = jax.random.split(key)
             out = self._denoise_jit(
                 self.m.unet_params, spec, latents, text_uc, text_c, sub,
                 condition_latents=condition_latents,
                 controlnet_params=ctrl_params,
                 control_images=ctrl,
+                last_mid_latents=last_mid_latents,
+                last_mid_noises=last_mid_noises,
                 **refer_cond,
             )
+            if spec.record_step_latents:
+                out, step_lats = out[:-1], out[-1]
+                step_latents_all.append(step_lats)
+            if spec.record_mid_video and spec.video_overlap > 0:
+                if isinstance(out, tuple):
+                    out, (last_mid_latents, last_mid_noises) = out[0], out[1]
+                mid_lat_np = np.asarray(last_mid_latents)
+                mid_noise_np = np.asarray(last_mid_noises)
+            elif isinstance(out, tuple):
+                out = out[0]
             full = splice_condition_frames(out, condition_latents, n_vc)
             all_latents.append(full if i_window == 0 else full[:, n_vc:])
             if n_vc > 0:
                 condition_latents = full[:, -n_vc:]
-                last_control = control[-1]
+                last_control = control[:, -1]
 
         latents_cat = jnp.concatenate(all_latents, axis=1)
         videos = self.decode_latents(latents_cat, segment=decode_segment)
-        return VideoResult(videos=videos, latents=np.asarray(latents_cat))
+        if need_hist_match:
+            videos = self._apply_hist_match(videos)
+        videos_mid = None
+        if step_latents_all:
+            videos_mid = np.stack(
+                [
+                    self.decode_latents(sl, segment=decode_segment)
+                    for sl in np.concatenate(step_latents_all, axis=2)
+                ]
+            )
+        return VideoResult(
+            videos=videos,
+            latents=np.asarray(latents_cat),
+            videos_mid=videos_mid,
+            mid_video_latents=mid_lat_np,
+            mid_video_noises=mid_noise_np,
+        )
+
+    def _apply_hist_match(self, videos: np.ndarray) -> np.ndarray:
+        """Match every frame after the first to frame 0, per batch item
+        (reference hist_match_video_bcthw call, predictor.py:745-750)."""
+        from ..utils.image_util import hist_match_video_to_frame
+
+        videos = np.asarray(videos).copy()
+        for bi in range(videos.shape[0]):
+            videos[bi, 1:] = hist_match_video_to_frame(
+                videos[bi, 1:], videos[bi, 0]
+            )
+        return videos
 
     def text2video(
         self,
@@ -461,6 +644,9 @@ class MusevPipeline:
         ip_adapter_face_scale: float = 1.0,
         control_images: Optional[np.ndarray] = None,  # (B, n_vc+T_total, H, W, 3) [0,255]
         controlnet_conditioning_scale: float = 1.0,
+        record_mid_video: bool = False,
+        video_overlap: int = 1,
+        need_middle_latents: bool = False,
     ) -> VideoResult:
         """The infinite-length text/image-to-video driver
         (run_pipe_text2video, predictor.py:356-750)."""
@@ -477,8 +663,7 @@ class MusevPipeline:
             )
         b = len(prompt)
         key = jax.random.PRNGKey(seed)
-        text_c = self.encode_prompt(prompt)
-        text_uc = self.encode_prompt(negative_prompt)
+        text_c, text_uc = self.encode_prompt_pair(prompt, negative_prompt)
 
         scale = self.m.vae_cfg.downscale
         h, w = height // scale, width // scale
@@ -513,6 +698,12 @@ class MusevPipeline:
                 controlnet_cfg=self.m.controlnet_cfg,
                 controlnet_scale=controlnet_conditioning_scale,
             )
+        if record_mid_video:
+            spec = dataclasses.replace(
+                spec, record_mid_video=True, video_overlap=video_overlap
+            )
+        if need_middle_latents:
+            spec = dataclasses.replace(spec, record_step_latents=True)
 
         # default reference/ip-adapter image: the condition image itself
         # (predictor.py:588-636)
@@ -521,8 +712,7 @@ class MusevPipeline:
         if ip_adapter_image is None and refer_image is not None:
             ip_adapter_image = refer_image
         refer_cond = self._prepare_reference_conditioning(
-            refer_image, ip_adapter_image,
-            t0=float(spec.scheduler.timesteps[0]),
+            refer_image, ip_adapter_image, text_c
         )
         if prompt_only_use_image_prompt and "vision_clip_emb" in refer_cond:
             # text tokens replaced by image-prompt tokens
@@ -543,6 +733,9 @@ class MusevPipeline:
             )
 
         all_latents: List[jnp.ndarray] = []
+        step_latents_all: List[jnp.ndarray] = []
+        last_mid_latents = last_mid_noises = None
+        mid_lat_np = mid_noise_np = None
         for i_batch in range(n_batch):
             key, sub = jax.random.split(key)
             noise = make_noise(
@@ -574,8 +767,20 @@ class MusevPipeline:
                 controlnet_params=self.m.controlnet_params
                 if ctrl is not None else None,
                 control_images=ctrl,
+                last_mid_latents=last_mid_latents,
+                last_mid_noises=last_mid_noises,
                 **refer_cond,
             )
+            if spec.record_step_latents:
+                out, step_lats = out[:-1], out[-1]
+                step_latents_all.append(step_lats)
+            if spec.record_mid_video and spec.video_overlap > 0:
+                if isinstance(out, tuple):
+                    out, (last_mid_latents, last_mid_noises) = out[0], out[1]
+                mid_lat_np = np.asarray(last_mid_latents)
+                mid_noise_np = np.asarray(last_mid_noises)
+            elif isinstance(out, tuple):
+                out = out[0]
             full = splice_condition_frames(out, condition_latents, n_vision_condition)
             if i_batch == 0:
                 all_latents.append(full)
@@ -586,4 +791,20 @@ class MusevPipeline:
 
         latents_cat = jnp.concatenate(all_latents, axis=1)
         videos = self.decode_latents(latents_cat, segment=decode_segment)
-        return VideoResult(videos=videos, latents=np.asarray(latents_cat))
+        if need_hist_match:
+            videos = self._apply_hist_match(videos)
+        videos_mid = None
+        if step_latents_all:
+            videos_mid = np.stack(
+                [
+                    self.decode_latents(sl, segment=decode_segment)
+                    for sl in np.concatenate(step_latents_all, axis=2)
+                ]
+            )
+        return VideoResult(
+            videos=videos,
+            latents=np.asarray(latents_cat),
+            videos_mid=videos_mid,
+            mid_video_latents=mid_lat_np,
+            mid_video_noises=mid_noise_np,
+        )

@@ -25,6 +25,7 @@ class InversionTokenizer:
         self.eos_token_id = base.eos_token_id
         self.pad_token_id = base.pad_token_id
         self.model_max_length = base.model_max_length
+        self.vocab_size = getattr(base, "vocab_size", None)
         self._next_id = None  # set on first registration
 
     def register(self, trigger: str, n_vectors: int, first_id: int) -> List[int]:
