@@ -68,6 +68,10 @@ def parse_args(argv=None):
     p.add_argument("--lcm", action="store_true",
                    help="use the LCM scheduler (with --lcm_lora_path fused)")
     p.add_argument("--need_hist_match", action="store_true")
+    p.add_argument("--redraw_condition_image", action="store_true",
+                   help="img2img the condition image before conditioning "
+                        "(predictor.py:496-582)")
+    p.add_argument("--redraw_strength", type=float, default=0.75)
     p.add_argument("--fix_condition_images", action="store_true")
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--dtype", type=str, default="float32",
@@ -218,6 +222,8 @@ def main(argv=None):
             refer_image=refer,
             ip_adapter_image=ip_img,
             need_hist_match=args.need_hist_match,
+            redraw_condition_image=args.redraw_condition_image,
+            redraw_strength=args.redraw_strength,
         )
         frames = (res.videos[0] * 255).astype(np.uint8)
         if native_available():

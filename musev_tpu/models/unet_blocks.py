@@ -101,7 +101,14 @@ def upsample(p: Params, x: jnp.ndarray, out_hw: Optional[Tuple[int, int]] = None
     n, h, w, c = x.shape
     if out_hw is None:
         out_hw = (h * 2, w * 2)
-    y = jax.image.resize(x, (n, *out_hw, c), method="nearest")
+    if out_hw == (h * 2, w * 2):
+        # exact 2x nearest as broadcast+reshape: avoids the gather that
+        # jax.image.resize can lower to on TPU (pure layout op, HBM-speed)
+        y = jnp.broadcast_to(
+            x[:, :, None, :, None, :], (n, h, 2, w, 2, c)
+        ).reshape(n, h * 2, w * 2, c)
+    else:
+        y = jax.image.resize(x, (n, *out_hw, c), method="nearest")
     return conv2d(p["conv"], y, padding=1)
 
 
@@ -172,11 +179,35 @@ def attention(
     ``bias``: additive attention bias broadcastable to (N, H, Sq, Sk) —
     used for the sparse-causal temporal mask.
     """
-    ctx = x if context is None else context
-    qp = linear(p["to_q"], x)
-    kp = linear(p["to_k"], ctx)
-    vp = linear(p["to_v"], ctx)
     from ..parallel.context import mesh_active
+
+    ctx = x if context is None else context
+    # fused projections: q/k/v kernels are bias-free, so self-attention is
+    # ONE (S, C) x (C, 3C) matmul and cross-attention fuses k|v — bigger MXU
+    # tiles, fewer HBM round trips. The weight concat is scan-invariant and
+    # hoisted by XLA. Skipped under an active mesh: it would re-layout the
+    # tp-sharded kernels.
+    fuse_ok = (
+        not mesh_active()
+        and "bias" not in p["to_q"]
+        and p["to_k"]["kernel"].shape == p["to_v"]["kernel"].shape
+    )
+    if fuse_ok and context is None:
+        wqkv = jnp.concatenate(
+            [p["to_q"]["kernel"], p["to_k"]["kernel"], p["to_v"]["kernel"]],
+            axis=1,
+        ).astype(x.dtype)
+        qp, kp, vp = jnp.split(x @ wqkv, 3, axis=-1)
+    elif fuse_ok and p["to_k"]["kernel"].shape[0] == ctx.shape[-1]:
+        qp = linear(p["to_q"], x)
+        wkv = jnp.concatenate(
+            [p["to_k"]["kernel"], p["to_v"]["kernel"]], axis=1
+        ).astype(ctx.dtype)
+        kp, vp = jnp.split(ctx @ wkv, 2, axis=-1)
+    else:
+        qp = linear(p["to_q"], x)
+        kp = linear(p["to_k"], ctx)
+        vp = linear(p["to_v"], ctx)
 
     if (
         context is None

@@ -288,6 +288,44 @@ class MusevPipeline:
             self.m.unet_params, spec, latents, text_uc, text_c, key
         )
 
+    def redraw_condition_images(
+        self,
+        condition_images: np.ndarray,  # (B, 1, H, W, 3) [0, 255]
+        text_c: jnp.ndarray,
+        text_uc: jnp.ndarray,
+        key: jax.Array,
+        strength: float = 0.75,
+        num_inference_steps: int = 30,
+        guidance_scale: float = 7.5,
+        noise_type: str = "video_fusion",
+        w_ind_noise: float = 0.5,
+    ) -> np.ndarray:
+        """Phase-1 condition-frame redraw: img2img the given condition image
+        with the temporal layers skipped (predictor.py:496-582,
+        redraw_condition_image). Returns redrawn images, same shape/range."""
+        spec = dataclasses.replace(
+            self._make_spec(
+                num_inference_steps, 1, 1, 0, "uniform_v2", guidance_scale,
+                None, "linear", 0, w_ind_noise, noise_type, 8.0,
+            ),
+            skip_temporal=True,
+            start_step=min(
+                int(num_inference_steps * (1.0 - strength)),
+                num_inference_steps - 1,
+            ),
+        )
+        lat = self.encode_images(condition_images)  # (B, 1, h, w, 4)
+        key, sub = jax.random.split(key)
+        noise = make_noise(
+            sub, lat.shape, noise_type=noise_type, w_ind_noise=w_ind_noise
+        ).astype(self.dtype)
+        latents = spec.scheduler.add_noise(lat, noise, spec.start_step)
+        out = self._denoise_jit(
+            self.m.unet_params, spec, latents, text_uc, text_c, key
+        )
+        imgs = self.decode_latents(out, segment=1)  # (B, 1, H, W, 3) [0,1]
+        return (np.asarray(imgs) * 255.0).astype(np.float32)
+
     def _prepare_reference_conditioning(
         self,
         refer_image: Optional[np.ndarray],
@@ -305,17 +343,50 @@ class MusevPipeline:
         cond text embeddings (:896-900)."""
         out: dict = {}
         m = self.m
+
+        def to_multi(images):
+            """(B,H,W,3) | (B,N,H,W,3) | list of (B,H,W,3) -> (B,N,H,W,3).
+
+            Multi-reference images enter the ReferenceNet as N 'frames'
+            (get_referencenet_emb num_frames=n_refer_image, :890-924) and
+            stack their clip tokens along the token axis."""
+            if isinstance(images, (list, tuple)):
+                images = np.stack([np.asarray(i) for i in images], axis=1)
+            images = np.asarray(images)
+            if images.ndim == 4:
+                images = images[:, None]
+            return images
+
+        def ip_tokens(images_bn):
+            b, n = images_bn.shape[:2]
+            pixels = preprocess_clip_image(
+                jnp.asarray(images_bn.reshape(b * n, *images_bn.shape[2:])),
+                m.clip_vision_cfg.image_size,
+            )
+            _, pooled = clip_vision_encode(
+                m.clip_vision_params, m.clip_vision_cfg, pixels
+            )
+            cond = image_proj(m.ip_proj_params, pooled)
+            uncond = image_proj(m.ip_proj_params, jnp.zeros_like(pooled))
+            k = cond.shape[1]
+            cond = cond.reshape(b, n * k, -1)
+            uncond = uncond.reshape(b, n * k, -1)
+            return cond, uncond
+
         if (
             refer_image is not None
             and m.referencenet_params is not None
             and m.referencenet_cfg is not None
         ):
-            lat = self.encode_images(np.asarray(refer_image)[:, None])[:, 0]
+            refer_bn = to_multi(refer_image)
+            b, n_ref = refer_bn.shape[:2]
+            lat = self.encode_images(refer_bn)  # (B, N, h, w, 4)
+            lat = lat.reshape(b * n_ref, *lat.shape[2:])
             if text_c is not None:
-                clip_ctx = text_c.astype(self.dtype)
+                clip_ctx = jnp.repeat(text_c.astype(self.dtype), n_ref, axis=0)
             else:
                 clip_ctx = jnp.zeros(
-                    (lat.shape[0], 1, m.referencenet_cfg.cross_attention_dim),
+                    (b * n_ref, 1, m.referencenet_cfg.cross_attention_dim),
                     self.dtype,
                 )
             if (
@@ -323,35 +394,27 @@ class MusevPipeline:
                 and m.ip_proj_params is not None
                 and ip_adapter_image is not None
             ):
-                pixels = preprocess_clip_image(
-                    jnp.asarray(ip_adapter_image), m.clip_vision_cfg.image_size
+                cond_tok, _ = ip_tokens(to_multi(ip_adapter_image))
+                clip_ctx = jnp.repeat(
+                    cond_tok.astype(self.dtype), n_ref, axis=0
                 )
-                _, pooled = clip_vision_encode(
-                    m.clip_vision_params, m.clip_vision_cfg, pixels
-                )
-                clip_ctx = image_proj(m.ip_proj_params, pooled).astype(self.dtype)
             down, mid, _ = referencenet_apply(
                 m.referencenet_params, m.referencenet_cfg,
                 lat.astype(self.dtype), 0.0, clip_ctx,
             )
-            out["refer_embs"] = down
-            out["mid_refer_emb"] = mid
+            # (B*N, 1, h, w, c) -> (B, N, h, w, c): ReferEmbFuse flattens the
+            # N axis into reference tokens
+            out["refer_embs"] = [
+                e.reshape(b, n_ref, *e.shape[2:]) for e in down
+            ]
+            out["mid_refer_emb"] = mid.reshape(b, n_ref, *mid.shape[2:])
         if (
             ip_adapter_image is not None
             and m.clip_vision_params is not None
             and m.ip_proj_params is not None
             and m.unet_cfg.ip_adapter_cross_attn
         ):
-            pixels = preprocess_clip_image(
-                jnp.asarray(ip_adapter_image), m.clip_vision_cfg.image_size
-            )
-            _, pooled = clip_vision_encode(
-                m.clip_vision_params, m.clip_vision_cfg, pixels
-            )
-            cond_tokens = image_proj(m.ip_proj_params, pooled)
-            uncond_tokens = image_proj(
-                m.ip_proj_params, jnp.zeros_like(pooled)
-            )
+            cond_tokens, uncond_tokens = ip_tokens(to_multi(ip_adapter_image))
             out["vision_clip_emb"] = jnp.concatenate(
                 [uncond_tokens, cond_tokens], axis=0
             ).astype(self.dtype)
@@ -647,9 +710,15 @@ class MusevPipeline:
         record_mid_video: bool = False,
         video_overlap: int = 1,
         need_middle_latents: bool = False,
+        redraw_condition_image: bool = False,
+        redraw_strength: float = 0.75,
     ) -> VideoResult:
         """The infinite-length text/image-to-video driver
-        (run_pipe_text2video, predictor.py:356-750)."""
+        (run_pipe_text2video, predictor.py:356-750).
+
+        ``redraw_condition_image``: img2img the supplied condition image
+        before using it (phase-1 redraw, predictor.py:496-582); the redrawn
+        frame also propagates into refer/ip-adapter images (:588-636)."""
         if isinstance(prompt, str):
             prompt = [prompt]
         if isinstance(negative_prompt, str):
@@ -672,6 +741,15 @@ class MusevPipeline:
         # phase 1: vision-condition latents
         if n_vision_condition > 0:
             if condition_images is not None:
+                if redraw_condition_image:
+                    key, sub = jax.random.split(key)
+                    condition_images = self.redraw_condition_images(
+                        condition_images, text_c, text_uc, sub,
+                        strength=redraw_strength,
+                        num_inference_steps=num_inference_steps,
+                        guidance_scale=guidance_scale,
+                        noise_type=noise_type, w_ind_noise=w_ind_noise,
+                    )
                 condition_latents = self.encode_images(condition_images)
             else:
                 key, sub = jax.random.split(key)

@@ -84,7 +84,9 @@ def test_start_step_skips_early_steps(tiny_unet):
             npred, i, cur, key=sub,
             w_ind_noise=spec.w_ind_noise, noise_type=spec.noise_type,
         )
-    np.testing.assert_allclose(np.asarray(out), np.asarray(cur), atol=1e-5)
+    # atol admits fp reassociation between the scanned fused-QKV matmul and
+    # the eager replication (same math, different XLA tilings)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(cur), atol=2e-4)
 
     # and it must differ from denoising all N steps
     full = denoise_loop(
@@ -233,3 +235,105 @@ def test_refnet_conditioning_runs_at_t0():
         models.referencenet_params, rcfg, lat, 999.0, text_c
     )
     assert np.abs(np.asarray(out["refer_embs"][3] - down999[3])).max() > 1e-6
+
+
+def test_multi_reference_images():
+    """N refer/ip images: refnet treats them as N frames; clip tokens stack
+    (reference get_referencenet_emb num_frames=n_refer_image,
+    get_ip_adapter_image_emb; README multi-reference capability)."""
+    from musev_tpu.models.clip_vision import CLIPVisionConfig, init_clip_vision
+    from musev_tpu.models.ip_adapter import init_image_proj
+    from musev_tpu.models.referencenet import (
+        ReferenceNetConfig, init_referencenet,
+    )
+    from musev_tpu.models.unet3d import musev_referencenet_config
+
+    ucfg = musev_referencenet_config(
+        block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+        cross_attention_dim=16, attention_heads=4, norm_num_groups=4,
+        ip_adapter_dim=16,
+    )
+    rcfg = ReferenceNetConfig(
+        block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+        cross_attention_dim=16, attention_heads=4, norm_num_groups=4,
+    )
+    vcfg = CLIPVisionConfig(image_size=32, patch_size=8, hidden_size=16,
+                            num_layers=1, num_heads=4, intermediate_size=32,
+                            projection_dim=16)
+    vae_cfg = VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                        norm_num_groups=4)
+    text_cfg = CLIPTextConfig(vocab_size=500, hidden_size=16, num_layers=1,
+                              num_heads=4, intermediate_size=32)
+    k = jax.random.PRNGKey(0)
+    models = MusevModels(
+        unet_params=init_unet3d(jax.random.fold_in(k, 0), ucfg),
+        unet_cfg=ucfg,
+        vae_params=init_vae(jax.random.fold_in(k, 1), vae_cfg),
+        vae_cfg=vae_cfg,
+        text_params=init_clip_text(jax.random.fold_in(k, 2), text_cfg),
+        text_cfg=text_cfg,
+        tokenizer=HashTokenizer(500),
+        referencenet_params=init_referencenet(jax.random.fold_in(k, 3), rcfg),
+        referencenet_cfg=rcfg,
+        clip_vision_params=init_clip_vision(jax.random.fold_in(k, 4), vcfg),
+        clip_vision_cfg=vcfg,
+        ip_proj_params=init_image_proj(
+            jax.random.fold_in(k, 5), clip_dim=16, cross_dim=16, num_tokens=4
+        ),
+    )
+    pipe = MusevPipeline(models)
+    imgs = (np.random.RandomState(0).rand(1, 2, 32, 32, 3) * 255).astype(
+        np.uint8
+    )  # (B=1, N=2 references)
+    text_c = pipe.encode_prompt(["a girl"])
+    out = pipe._prepare_reference_conditioning(imgs, imgs, text_c)
+    assert out["refer_embs"][0].shape[1] == 2  # N axis preserved
+    assert out["mid_refer_emb"].shape[1] == 2
+    # 2 images x 4 tokens = 8 IP tokens per CFG half
+    assert out["vision_clip_emb"].shape == (2, 8, 16)
+    # end to end through the driver with multi-reference lists
+    res = pipe.text2video(
+        "a girl", height=32, width=32, video_length=4, n_batch=1,
+        video_num_inference_steps=2, num_inference_steps=2,
+        context_frames=4, context_overlap=1, seed=1,
+        condition_images=(np.random.RandomState(1).rand(1, 1, 32, 32, 3)
+                          * 255).astype(np.uint8),
+        refer_image=imgs, ip_adapter_image=imgs,
+    )
+    assert res.videos.shape == (1, 5, 32, 32, 3)
+    assert np.isfinite(res.videos).all()
+
+
+def test_redraw_condition_image(pipeline):
+    """Phase-1 redraw: condition image is img2img'd first; the redrawn frame
+    must differ from the input but keep its structure at low strength."""
+    cond = (np.random.RandomState(5).rand(1, 1, 32, 32, 3) * 255).astype(
+        np.uint8
+    )
+    kw = dict(height=32, width=32, video_length=4, n_batch=1,
+              video_num_inference_steps=2, num_inference_steps=4,
+              context_frames=4, context_overlap=1,
+              condition_images=cond, seed=6)
+    plain = pipeline.text2video("a girl", **kw)
+    redrawn = pipeline.text2video(
+        "a girl", redraw_condition_image=True, redraw_strength=0.5, **kw
+    )
+    # the condition frame (index 0) changed because it was redrawn
+    assert np.abs(plain.videos[:, 0] - redrawn.videos[:, 0]).max() > 1e-4
+    assert np.isfinite(redrawn.videos).all()
+
+    direct = pipeline.redraw_condition_images(
+        cond, pipeline.encode_prompt(["a girl"]),
+        pipeline.encode_prompt([""]), jax.random.PRNGKey(0),
+        strength=0.25, num_inference_steps=4,
+    )
+    assert direct.shape == (1, 1, 32, 32, 3)
+    # low strength keeps the redrawn image closer to the input than high
+    direct_hi = pipeline.redraw_condition_images(
+        cond, pipeline.encode_prompt(["a girl"]),
+        pipeline.encode_prompt([""]), jax.random.PRNGKey(0),
+        strength=1.0, num_inference_steps=4,
+    )
+    d_lo = np.abs(direct - cond.astype(np.float32)).mean()
+    d_hi = np.abs(direct_hi - cond.astype(np.float32)).mean()
+    assert d_lo < d_hi
