@@ -51,12 +51,31 @@ def sdpa(
 ) -> jnp.ndarray:
     """Attention over (B, S, H, D) tensors."""
     if impl == "auto":
-        from ..parallel.context import mesh_active
+        from ..parallel.context import mesh_active, sp_axis
 
+        sp = sp_axis()
+        if (
+            sp is not None
+            and bias is None
+            and q.shape[1] == k.shape[1]  # self-attention sites only
+            and q.shape[1] >= _FLASH_MIN_SEQ
+        ):
+            from jax.sharding import get_abstract_mesh
+
+            mesh = get_abstract_mesh()
+            n = mesh.shape.get(sp, 1) if mesh.shape else 1
+            if n > 1 and q.shape[1] % n == 0:
+                from ..parallel.ring_attention import sp_sdpa
+
+                return sp_sdpa(q, k, v, axis=sp, scale=scale)
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         impl = (
             "flash"
             if on_tpu and bias is None and q.shape[1] >= _FLASH_MIN_SEQ
+            # tiny-KV sites (cross-attn over 77 text tokens) are
+            # grid-overhead bound in the kernel; XLA measured faster (v5e:
+            # 4.2 vs 4.4-6.0 ms at the L0 cross shape) with no transposes
+            and k.shape[1] >= 256
             and not mesh_active()  # custom calls aren't SPMD-partitionable
             else "xla"
         )

@@ -69,6 +69,10 @@ class DenoiseSpec:
     # propagates; setting this also routes attention off the Pallas kernels
     # (custom calls are not auto-partitionable)
     tp_axis: Optional[str] = None
+    # mesh axis for sequence parallelism: long self-attention sites run as
+    # shard_map ring attention (parallel.ring_attention) with K/V shards
+    # rotating over ICI
+    sp_axis: Optional[str] = None
 
     def __hash__(self):
         return hash(
@@ -79,7 +83,7 @@ class DenoiseSpec:
              self.video_overlap, self.record_mid_video,
              self.record_step_latents, self.start_step,
              self.controlnet_cfg, self.controlnet_scale, self.dp_axis,
-             self.tp_axis)
+             self.tp_axis, self.sp_axis)
         )
 
     def __eq__(self, other):
@@ -125,7 +129,7 @@ def predict_noise(
     """
     from ..parallel.context import sharding_ctx
 
-    with sharding_ctx(dp=spec.dp_axis, tp=spec.tp_axis):
+    with sharding_ctx(dp=spec.dp_axis, tp=spec.tp_axis, sp=spec.sp_axis):
         return _predict_noise_inner(
             params, spec, latents, step_index, text_uc, text_c,
             condition_latents, vision_clip_emb, ip_adapter_face_emb,

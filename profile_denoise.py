@@ -9,6 +9,7 @@ Produces a jax.profiler trace of one full 10-step denoise and prints the
 device-op aggregation.
 """
 
+import argparse
 import collections
 import glob
 import gzip
@@ -22,7 +23,8 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/musev_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def main(trace_dir: str = "/tmp/musev_trace_prof"):
+def main(trace_dir: str = "/tmp/musev_trace_prof", detail: int = 0,
+         windows: bool = False):
     from musev_tpu.models.init_util import fast_init
     from musev_tpu.models.unet3d import init_unet3d, musev_config
     from musev_tpu.ops.context import make_window_plan
@@ -35,10 +37,11 @@ def main(trace_dir: str = "/tmp/musev_trace_prof"):
     params = jax.device_put(fast_init(init_unet3d, cfg, dtype=dtype))
     _ = float(jax.tree_util.tree_leaves(params)[0].ravel()[0])
     t, hw = 24, 72
+    ctx = 12 if windows else t
     spec = DenoiseSpec(
         unet_cfg=cfg,
         scheduler=EulerDiscreteScheduler.create(10),
-        plan=make_window_plan(t, t, context_overlap=4),
+        plan=make_window_plan(t, ctx, context_overlap=4),
         guidance=guidance_schedule(3.5, 10),
         n_vision_cond=1,
         do_cfg=True,
@@ -79,6 +82,27 @@ def main(trace_dir: str = "/tmp/musev_trace_prof"):
     for name, d in sorted(durs.items(), key=lambda kv: -kv[1])[:15]:
         print(f"{d/1e3:9.1f}ms {100*d/total:5.1f}%  {name[:80]}")
 
+    if detail:
+        # per-HLO-op attribution: full op name + invocation count
+        full = collections.defaultdict(lambda: [0.0, 0])
+        for e in events:
+            if e.get("ph") == "X" and "dur" in e and e.get("pid") in dev:
+                if not e["name"].startswith(("jit_", "while")):
+                    full[e["name"]][0] += e["dur"]
+                    full[e["name"]][1] += 1
+        print(f"\ntop {detail} individual ops:")
+        for name, (d, n) in sorted(full.items(), key=lambda kv: -kv[1][0])[
+            :detail
+        ]:
+            print(f"{d/1e3:9.1f}ms  x{n:4d}  {name[:90]}")
+
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--detail", type=int, default=0,
+                    help="also print top-N individual HLO ops")
+    ap.add_argument("--windows", action="store_true",
+                    help="3x12-frame flagship window plan instead of 1x24")
+    ap.add_argument("--trace-dir", type=str, default="/tmp/musev_trace_prof")
+    a = ap.parse_args()
+    main(a.trace_dir, a.detail, a.windows)
