@@ -222,7 +222,12 @@ def flash_attention(
     else:
         # KV split + exact merge: independent unroll calls per KV part,
         # each emitting (o, m, l); parts merged with the softmax rescaling
-        # identity (all stats share the folded log2e units, so exp2 merges)
+        # identity (all stats share the folded log2e units, so exp2 merges).
+        # Smaller q blocks: the stats outputs cost ~50 KB of double-buffered
+        # VMEM, which at bq=576 sits exactly at the 16 MB scoped limit.
+        bq = _pick_block(sq, 432 if block_q is None else block_q)
+        sq_p = _cdiv(sq, bq) * bq
+        qb = _pad_rows(to_bh(q, sq), sq_p)
         part = _kv_capacity(d_p, sub)
         n_parts = _cdiv(sk, part)
         o = m = l = None
