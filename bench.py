@@ -207,11 +207,12 @@ def main():
     }
     if shard_denoise_s is not None:
         # v5e-8 projection: every chip runs one window x one CFG half
-        # concurrently (overlap-8 plan -> 8 shards; overlap-4 -> 6 of 8
-        # chips busy). Decode is frame-parallel across chips. The overlap
-        # scatter-add psum + CFG combine is ~1 MB/step over ICI; 10%
-        # headroom covers it plus step-boundary sync.
-        proj = 1.10 * shard_denoise_s + decode_s / 6.0
+        # concurrently under the overlap-8 plan (4 windows x 2 CFG = 8
+        # shards, all chips busy; the measured shard workload is identical
+        # for the overlap-4 plan). Decode is frame-parallel across all 8
+        # chips. The overlap scatter-add psum + CFG combine is ~1 MB/step
+        # over ICI; 10% headroom covers it plus step-boundary sync.
+        proj = 1.10 * shard_denoise_s + decode_s / 8.0
         result["per_shard_denoise_seconds"] = round(shard_denoise_s, 3)
         result["projected_v5e8_e2e_seconds"] = round(proj, 3)
         result["vs_baseline"] = round(3.0 / proj, 3)
