@@ -59,6 +59,11 @@ def main():
                     help="musev_referencenet adds ReferenceNet embs + "
                          "IP-Adapter tokens to the denoise step (BASELINE "
                          "config #2)")
+    ap.add_argument("--scheduler", type=str, default="euler",
+                    choices=["euler", "lcm"],
+                    help="lcm = the reference's LCM-LoRA fast path "
+                         "(predictor.py:296-306): LCMScheduler, typically "
+                         "with --steps 4")
     args = ap.parse_args()
 
     from musev_tpu.models.init_util import fast_init
@@ -108,10 +113,17 @@ def main():
     overlap = 0 if args.single_window else args.context_overlap
     plan = make_window_plan(t, ctx, context_overlap=overlap)
 
+    if args.scheduler == "lcm":
+        from musev_tpu.schedulers.lcm import LCMScheduler
+
+        make_sched = LCMScheduler.create
+    else:
+        make_sched = EulerDiscreteScheduler.create
+
     def build_spec(p, do_cfg=True):
         return DenoiseSpec(
             unet_cfg=cfg,
-            scheduler=EulerDiscreteScheduler.create(args.steps),
+            scheduler=make_sched(args.steps),
             plan=p,
             guidance=guidance_schedule(3.5, args.steps),
             n_vision_cond=1,
@@ -202,7 +214,8 @@ def main():
             "frames": args.frames, "size": args.size, "steps": args.steps,
             "context_frames": ctx, "context_overlap": overlap,
             "n_windows": plan.n_windows, "tiny": bool(args.tiny),
-            "preset": args.preset, "backend": jax.default_backend(),
+            "preset": args.preset, "scheduler": args.scheduler,
+            "backend": jax.default_backend(),
         },
     }
     if shard_denoise_s is not None:

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.adain import adain_to_condition_frames
-from ..ops.attention import sdpa
+from ..ops.attention import sdpa, training_active
 from .common import (
     Params,
     conv2d,
@@ -218,6 +218,7 @@ def attention(
         and qp.shape[-1] % heads == 0
         and jax.default_backend() not in ("cpu", "gpu")
         and not mesh_active()  # pallas custom calls can't be SPMD-partitioned
+        and not training_active()  # no VJP on the pallas kernel
     ):
         # temporal rows (short T): packed-lane pallas kernel — q/k/v stay
         # (N, T, C), all heads computed in-kernel; 5.8-9.8x faster on v5e

@@ -75,13 +75,16 @@ def diffusion_loss(
             apply_fn, policy=jax.checkpoint_policies.nothing_saveable
         )
 
-    pred = apply_fn(
-        params,
-        noisy,
-        timesteps.astype(jnp.float32),
-        text_emb,
-        cond if n_vc > 0 else None,
-    )
+    from .ops.attention import training_ctx
+
+    with training_ctx():  # Pallas kernels have no VJP: differentiable paths
+        pred = apply_fn(
+            params,
+            noisy,
+            timesteps.astype(jnp.float32),
+            text_emb,
+            cond if n_vc > 0 else None,
+        )
     pred_gen = pred[:, n_vc:] if n_vc > 0 else pred
     err = pred_gen.astype(jnp.float32) - noise
     return jnp.mean(err * err)
@@ -115,6 +118,13 @@ def super_diffusion_loss(
     batch keys: latents (B,T,h,w,C), text_emb (B,S,D), refer_latents?
       (B,h,w,C), clip_pooled? (B,clip_dim), control_images? (B,T,H,W,3)
     """
+    from .ops.attention import training_ctx
+
+    with training_ctx():  # Pallas kernels have no VJP: differentiable paths
+        return _super_diffusion_loss(bundle, spec, batch, key)
+
+
+def _super_diffusion_loss(bundle, spec, batch, key):
     from .models.controlnet import controlnet_apply
     from .models.ip_adapter import image_proj
     from .models.referencenet import referencenet_apply
