@@ -55,10 +55,12 @@ def main():
     ap.add_argument("--single-window", action="store_true",
                     help="round-1 comparability config: one 24-frame window")
     ap.add_argument("--preset", type=str, default="musev",
-                    choices=["musev", "musev_referencenet"],
+                    choices=["musev", "musev_referencenet",
+                             "musev_referencenet_pose"],
                     help="musev_referencenet adds ReferenceNet embs + "
                          "IP-Adapter tokens to the denoise step (BASELINE "
-                         "config #2)")
+                         "config #2); _pose additionally runs a pose "
+                         "ControlNet over per-frame pose maps (config #3)")
     ap.add_argument("--scheduler", type=str, default="euler",
                     choices=["euler", "lcm"],
                     help="lcm = the reference's LCM-LoRA fast path "
@@ -92,7 +94,7 @@ def main():
         vae_cfg = VAEConfig(block_out_channels=(16, 16, 32, 32),
                             layers_per_block=1, norm_num_groups=8)
         text_dim = 16
-    elif args.preset == "musev_referencenet":
+    elif args.preset.startswith("musev_referencenet"):
         cfg = musev_referencenet_config()
         vae_cfg = VAEConfig()
         text_dim = cfg.cross_attention_dim
@@ -120,10 +122,17 @@ def main():
     else:
         make_sched = EulerDiscreteScheduler.create
 
+    cn_cfg = None
+    if args.preset == "musev_referencenet_pose" and not args.tiny:
+        from musev_tpu.models.controlnet import ControlNetConfig
+
+        cn_cfg = ControlNetConfig()
+
     def build_spec(p, do_cfg=True):
         return DenoiseSpec(
             unet_cfg=cfg,
             scheduler=make_sched(args.steps),
+            controlnet_cfg=cn_cfg,
             plan=p,
             guidance=guidance_schedule(3.5, args.steps),
             n_vision_cond=1,
@@ -137,7 +146,7 @@ def main():
     tc = jax.random.normal(jax.random.fold_in(key, 5), (1, 77, text_dim), dtype)
 
     extra = {}
-    if args.preset == "musev_referencenet" and not args.tiny:
+    if args.preset.startswith("musev_referencenet") and not args.tiny:
         rcfg = ReferenceNetConfig()
         rparams = jax.device_put(fast_init(init_referencenet, rcfg, seed=2, dtype=dtype))
         refer_lat = jax.random.normal(jax.random.fold_in(key, 6), (1, hw, hw, 4), dtype)
@@ -151,6 +160,17 @@ def main():
                 jax.random.fold_in(key, 7), (2, 4, text_dim), dtype
             ),
         )
+        if cn_cfg is not None:
+            from musev_tpu.models.controlnet import init_controlnet
+
+            extra["controlnet_params"] = jax.device_put(
+                fast_init(init_controlnet, cn_cfg, seed=3, dtype=dtype)
+            )
+            # per-frame pose maps in [0,1]: (B, n_vc + T, 8h, 8w, 3)
+            extra["control_images"] = jax.random.uniform(
+                jax.random.fold_in(key, 8),
+                (1, 1 + t, args.size, args.size, 3), dtype,
+            )
 
     fn = jax.jit(denoise_loop, static_argnames=("spec",))
 
@@ -190,11 +210,17 @@ def main():
         shard_plan = make_window_plan(ctx, ctx, context_overlap=0)
         shard_spec = build_spec(shard_plan, do_cfg=False)
         shard_lat = lat[:, :ctx]
-        shard_extra = {
+        def shard_slice(k, v):
+            if k == "controlnet_params":
+                return v
+            if k == "control_images":  # pose maps for viscond + ctx frames
+                return v[:, : 1 + ctx]
+            if k.startswith(("refer", "mid")):
+                return v
             # pre-doubled [uncond; cond] tensors keep only the cond half
-            k: (v if k.startswith(("refer", "mid")) else v[-1:])
-            for k, v in extra.items()
-        }
+            return v[-1:]
+
+        shard_extra = {k: shard_slice(k, v) for k, v in extra.items()}
         shard_denoise_s, _ = time_call(
             fn, params, shard_spec, shard_lat, None, tc, key,
             condition_latents=cond, **shard_extra,

@@ -31,4 +31,20 @@ def __getattr__(name):
         from .configs import model_registry as _r
 
         return getattr(_r, name)
+    if name in ("DenoiseSpec", "denoise_loop"):
+        from .pipelines import denoiser as _d
+
+        return getattr(_d, name)
+    if name in ("ring_attention", "sp_sdpa"):
+        from .parallel import ring_attention as _ra
+
+        return getattr(_ra, name)
+    if name in ("make_mesh", "batch_sharding"):
+        from .parallel import mesh as _m
+
+        return getattr(_m, name)
+    if name in ("TrainSpec", "train_step", "SuperTrainSpec", "super_train_step"):
+        from . import train as _t
+
+        return getattr(_t, name)
     raise AttributeError(name)
