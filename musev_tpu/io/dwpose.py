@@ -388,6 +388,21 @@ class DWPoseProcessor:
         self.score_thr = score_thr
 
     def detect_frame(self, frame: np.ndarray) -> PoseResult:
+        if self.detect_resolution:
+            # run detection+pose on a long-side-capped copy (reference
+            # controlnet_aux detect_resolution contract); keypoints are
+            # normalized by the frame they were estimated on, so the
+            # full-resolution render is unaffected
+            h, w = frame.shape[:2]
+            long_side = max(h, w)
+            if long_side > self.detect_resolution:
+                s = self.detect_resolution / long_side
+                nh, nw = max(1, round(h * s)), max(1, round(w * s))
+                from PIL import Image
+
+                frame = np.asarray(
+                    Image.fromarray(frame.astype(np.uint8)).resize((nw, nh))
+                )
         h, w = frame.shape[:2]
         boxes = detect_persons(self.det, frame)
         kpts, scores = estimate_pose(self.pose, frame, boxes)

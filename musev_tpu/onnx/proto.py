@@ -175,6 +175,11 @@ def _parse_tensor(buf: memoryview) -> Tuple[str, np.ndarray]:
         arr = np.asarray(floats, dtype=np_dtype)
     elif doubles:
         arr = np.asarray(doubles, dtype=np_dtype)
+    elif np_dtype == np.float16:
+        # fp16 without raw_data stores the uint16 BIT PATTERNS in
+        # int32_data (onnx.proto TensorProto.int32_data comment); a value
+        # cast would turn 0x3C00 (1.0) into 15360.0
+        arr = np.asarray(ints, dtype=np.uint16).view(np.float16)
     else:
         arr = np.asarray(ints, dtype=np_dtype)
     return name, arr.reshape(dims) if dims else arr.reshape(())
@@ -216,12 +221,16 @@ def _parse_attribute(buf: memoryview) -> Attribute:
             a_type = val
     # AttributeProto.AttributeType: FLOAT=1 INT=2 STRING=3 TENSOR=4 GRAPH=5
     # FLOATS=6 INTS=7 STRINGS=8
+    # proto3 serializers omit zero-valued scalar fields entirely (e.g.
+    # Gather.axis=0, MaxPool.ceil_mode=0 write only type=INT): when the
+    # type says scalar but the value field is absent, the value IS the
+    # proto3 default, not None
     if a_type == 1 or (a_type is None and f is not None):
-        return Attribute(name, f)
+        return Attribute(name, f if f is not None else 0.0)
     if a_type == 2 or (a_type is None and i is not None):
-        return Attribute(name, i)
+        return Attribute(name, i if i is not None else 0)
     if a_type == 3 or (a_type is None and s is not None):
-        return Attribute(name, s)
+        return Attribute(name, s if s is not None else b"")
     if a_type == 4 or (a_type is None and t is not None):
         return Attribute(name, t)
     if a_type == 5 or (a_type is None and g is not None):

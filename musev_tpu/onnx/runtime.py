@@ -140,6 +140,23 @@ def _pool(attrs, x, reducer, init, avg=False):
     return y
 
 
+def _resize_coords(out_len, in_len, ctm):
+    """ONNX output->input coordinate mapping per coordinate_transformation_mode."""
+    xo = jnp.arange(out_len, dtype=jnp.float32)
+    scale = out_len / in_len
+    if ctm in ("half_pixel", "tf_half_pixel_for_nn"):
+        return (xo + 0.5) / scale - 0.5
+    if ctm == "pytorch_half_pixel":
+        return (xo + 0.5) / scale - 0.5 if out_len > 1 else jnp.zeros_like(xo)
+    if ctm == "asymmetric":
+        return xo / scale
+    if ctm == "align_corners":
+        if out_len == 1:
+            return jnp.zeros_like(xo)
+        return xo * ((in_len - 1) / (out_len - 1))
+    raise NotImplementedError(f"Resize coordinate_transformation_mode {ctm}")
+
+
 def _op_resize(attrs, x, *rest):
     # inputs (opset 11+): X, roi, scales, sizes ; (opset 10): X, scales
     roi = rest[0] if len(rest) > 0 else None
@@ -150,20 +167,52 @@ def _op_resize(attrs, x, *rest):
     mode = mode.decode() if isinstance(mode, bytes) else mode
     ctm = attrs.get("coordinate_transformation_mode", b"half_pixel")
     ctm = ctm.decode() if isinstance(ctm, bytes) else ctm
+    nearest_mode = attrs.get("nearest_mode", b"round_prefer_floor")
+    nearest_mode = (
+        nearest_mode.decode() if isinstance(nearest_mode, bytes) else nearest_mode
+    )
     if sizes is not None and np.size(sizes):
         out_shape = [int(s) for s in np.asarray(sizes)]
     else:
         sc = np.asarray(scales)
         out_shape = [int(np.floor(x.shape[i] * sc[i])) for i in range(x.ndim)]
-    if mode.startswith("nearest"):
-        method = "nearest"
-    elif mode in ("linear", "bilinear"):
-        method = "bilinear" if ctm != "align_corners" else "bilinear"
-    elif mode == "cubic":
-        method = "bicubic"
-    else:
+    if mode == "cubic":
+        if ctm not in ("half_pixel", "pytorch_half_pixel"):
+            raise NotImplementedError(f"Resize cubic with ctm {ctm}")
+        return jax.image.resize(x, tuple(out_shape), method="bicubic")
+    if not (mode.startswith("nearest") or mode in ("linear", "bilinear")):
         raise NotImplementedError(f"Resize mode {mode}")
-    return jax.image.resize(x, tuple(out_shape), method=method)
+    # separable axis-by-axis gather honouring the exact onnx coordinate
+    # conventions (jax.image.resize is hardwired to half_pixel, which
+    # silently shifts asymmetric/align_corners exports like yolox upsamples)
+    y = x
+    for ax, out_len in enumerate(out_shape):
+        in_len = y.shape[ax]
+        if out_len == in_len:
+            continue
+        coords = _resize_coords(out_len, in_len, ctm)
+        if mode.startswith("nearest"):
+            if nearest_mode == "round_prefer_floor":
+                idx = jnp.ceil(coords - 0.5)
+            elif nearest_mode == "round_prefer_ceil":
+                idx = jnp.floor(coords + 0.5)
+            elif nearest_mode == "floor":
+                idx = jnp.floor(coords)
+            elif nearest_mode == "ceil":
+                idx = jnp.ceil(coords)
+            else:
+                raise NotImplementedError(f"Resize nearest_mode {nearest_mode}")
+            idx = jnp.clip(idx.astype(jnp.int32), 0, in_len - 1)
+            y = jnp.take(y, idx, axis=ax)
+        else:
+            lo = jnp.clip(jnp.floor(coords).astype(jnp.int32), 0, in_len - 1)
+            hi = jnp.clip(lo + 1, 0, in_len - 1)
+            w = jnp.clip(coords - lo.astype(jnp.float32), 0.0, 1.0)
+            shape = [1] * y.ndim
+            shape[ax] = out_len
+            w = w.reshape(shape).astype(y.dtype)
+            y = jnp.take(y, lo, axis=ax) * (1 - w) + jnp.take(y, hi, axis=ax) * w
+    return y
 
 
 def _axes_tuple(axes, rank):
@@ -266,9 +315,8 @@ class OnnxModel:
             raise NotImplementedError(
                 f"ONNX op {op!r} not supported by musev_tpu.onnx.runtime"
             )
-        # constant-fold shape algebra: keep numpy when all inputs static
-        if op in _FOLDABLE and all(_is_static(x) or x is None for x in ins):
-            return fn(attrs, *ins)
+        # constant folding of shape algebra happens inside each _lower_*
+        # via _is_static checks (numpy in, numpy out) — no dispatch needed
         return fn(attrs, *ins)
 
     # elementwise ------------------------------------------------------------
@@ -658,8 +706,3 @@ class OnnxModel:
         return out.astype(jnp.int64)
 
 
-_FOLDABLE = {
-    "Shape", "Size", "Gather", "Concat", "Unsqueeze", "Squeeze", "Slice",
-    "Cast", "Add", "Sub", "Mul", "Div", "Reshape", "Range", "Constant",
-    "ConstantOfShape",
-}

@@ -188,7 +188,9 @@ def flash_attention(
     block_kv: int = None,  # kept for API compat; sub-block target
 ) -> jnp.ndarray:
     """Attention over (B, S, H, D) tensors, matching ops.attention.sdpa."""
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() != "tpu":
+        # NotImplementedError is the contract with ops.attention.sdpa's
+        # XLA fallback — a gpu backend must take it too, not crash in Mosaic
         raise NotImplementedError("pallas flash attention requires TPU")
     b, sq, h, d = q.shape
     sk = k.shape[1]

@@ -329,3 +329,84 @@ def test_dwpose_processor_end_to_end_synthetic():
     assert maps.shape == (2, 96, 96, 3)
     assert maps.dtype == np.uint8
     assert maps.any(), "pose map should contain drawn keypoints"
+
+
+def _varint(v):
+    out = b""
+    while True:
+        b7 = v & 0x7F
+        v >>= 7
+        out += bytes([b7 | (0x80 if v else 0)])
+        if not v:
+            return out
+
+
+def _tag(f, wt):
+    return _varint((f << 3) | wt)
+
+
+def test_proto3_omitted_zero_scalar_attrs():
+    """proto3 serializers drop zero-valued fields: type=INT with no i field
+    must decode as 0, not None (real Gather.axis=0 / MaxPool.ceil_mode=0)."""
+    from musev_tpu.onnx.proto import _parse_attribute
+
+    buf = _tag(1, 2) + _varint(4) + b"axis" + _tag(20, 0) + _varint(2)
+    a = _parse_attribute(memoryview(buf))
+    assert a.name == "axis" and a.value == 0
+    buf = _tag(1, 2) + _varint(1) + b"f" + _tag(20, 0) + _varint(1)
+    assert _parse_attribute(memoryview(buf)).value == 0.0
+
+
+def test_fp16_int32_data_bit_reinterpret():
+    """fp16 without raw_data stores bit patterns in int32_data."""
+    from musev_tpu.onnx.proto import _parse_tensor
+
+    t = _tag(2, 0) + _varint(10) + _tag(5, 0) + _varint(0x3C00)
+    _, arr = _parse_tensor(memoryview(t))
+    assert arr.dtype == np.float16 and float(arr) == 1.0
+
+
+def test_resize_coordinate_transformation_modes():
+    from musev_tpu.onnx.runtime import _op_resize
+
+    x = np.arange(16, dtype=np.float32).reshape(1, 1, 4, 4)
+    sc = np.array([1, 1, 2, 2], np.float32)
+    # asymmetric + floor = plain index repetition (yolox upsample convention)
+    y = np.asarray(_op_resize(
+        {"mode": b"nearest", "coordinate_transformation_mode": b"asymmetric",
+         "nearest_mode": b"floor"}, x, None, sc))
+    ref = np.repeat(np.repeat(x, 2, axis=2), 2, axis=3)
+    np.testing.assert_array_equal(y, ref)
+    # align_corners linear: corners map exactly
+    y = np.asarray(_op_resize(
+        {"mode": b"linear",
+         "coordinate_transformation_mode": b"align_corners"}, x, None, sc))
+    assert y[0, 0, 0, 0] == x[0, 0, 0, 0]
+    assert y[0, 0, -1, -1] == x[0, 0, -1, -1]
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        _op_resize({"mode": b"linear",
+                    "coordinate_transformation_mode": b"bogus"}, x, None, sc)
+
+
+def test_dwpose_detect_resolution_downscales(monkeypatch):
+    """detect_resolution caps the frame fed to the detector; normalized
+    keypoints keep the full-res render unchanged."""
+    import musev_tpu.io.dwpose as D
+
+    frames_fed = []
+
+    def rec(det, frame):
+        frames_fed.append(frame.shape)
+        raise RuntimeError("stop")
+
+    monkeypatch.setattr(D, "detect_persons", rec)
+    proc = D.DWPoseProcessor(None, None, detect_resolution=48)
+    with np.testing.assert_raises(RuntimeError):
+        proc.detect_frame(np.zeros((96, 64, 3), np.uint8))
+    # without the cap, full resolution goes through
+    proc_full = D.DWPoseProcessor(None, None)
+    with np.testing.assert_raises(RuntimeError):
+        proc_full.detect_frame(np.zeros((96, 64, 3), np.uint8))
+    assert frames_fed == [(48, 32, 3), (96, 64, 3)]
