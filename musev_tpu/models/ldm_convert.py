@@ -91,8 +91,6 @@ def convert_ldm_unet_keys(
             nk = k.replace("out.2.", "conv_out.")
         else:
             continue
-        if ".resnets." in nk or nk.startswith(("conv_", "time_embedding")):
-            nk = _resnet_rename(nk)
         out[nk] = val
     return out
 

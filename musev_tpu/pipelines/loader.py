@@ -93,14 +93,30 @@ def build_models(
             unet_params, preset.unet_cfg, base_sd
         )
         logger.info("sd base merge: %d tensors", n)
-        if ldm_vae_sd and not preset.vae_checkpoint:
+        # the LDM-embedded nets are the fallback whenever the explicit
+        # checkpoint will not actually load (unset OR missing file) — a set-
+        # but-missing path must not leave the VAE/text at random init
+        vae_explicit = preset.vae_checkpoint and os.path.exists(
+            preset.vae_checkpoint
+        )
+        text_explicit = preset.text_checkpoint and os.path.exists(
+            preset.text_checkpoint
+        )
+        if ldm_vae_sd and not vae_explicit:
             n, _ = sd_weights.convert_vae(vae_params, preset.vae_cfg, ldm_vae_sd)
             logger.info("ldm vae: %d tensors", n)
-        if ldm_text_sd and not preset.text_checkpoint:
+        if ldm_text_sd and not text_explicit:
             sd_weights.convert_clip_text(
                 text_params, preset.text_cfg, ldm_text_sd
             )
             logger.info("ldm text encoder loaded")
+    for slot in ("unet", "sd_base", "vae", "text"):
+        p = getattr(preset, f"{slot}_checkpoint")
+        if p and not os.path.exists(p):
+            logger.warning(
+                "%s_checkpoint %r does not exist — network stays at its "
+                "current (possibly random) init", slot, p,
+            )
     if preset.vae_checkpoint and os.path.exists(preset.vae_checkpoint):
         sd_weights.convert_vae(
             vae_params, preset.vae_cfg, _load_state_dict(preset.vae_checkpoint)

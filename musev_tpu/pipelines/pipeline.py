@@ -478,6 +478,11 @@ class MusevPipeline:
         elif len(negative_prompt) == 1:
             negative_prompt = list(negative_prompt) * len(prompt)
         b = len(prompt)
+        if len(negative_prompt) != b:
+            raise ValueError(
+                f"negative_prompt batch {len(negative_prompt)} != prompt "
+                f"batch {b}"
+            )
         key = jax.random.PRNGKey(seed)
         text_c, text_uc = self.encode_prompt_pair(prompt, negative_prompt)
 
@@ -505,7 +510,10 @@ class MusevPipeline:
             # PrefetchingWindows): constant host memory, DecordVideoDataset
             # contract (predictor.py:867-932)
             windows_iter = iter(video_frames)
-            peek = next(windows_iter)
+            try:
+                peek = next(windows_iter)
+            except StopIteration:
+                raise ValueError("video_frames yielded no frames") from None
             first_shape = peek.shape[1:3]
 
             def _chain(first, rest):
@@ -526,31 +534,38 @@ class MusevPipeline:
             return np.stack([controlnet_processor(f) for f in np.asarray(frames)])
 
         n_vc = n_vision_condition
-        spec = self._make_spec(
-            video_num_inference_steps, time_size, context_frames,
-            context_overlap, context_schedule, video_guidance_scale, None,
-            "linear", n_vc, w_ind_noise, noise_type, motion_speed,
-            ip_adapter_scale=ip_adapter_scale,
-        )
-        if self.m.controlnet_cfg is not None:
-            spec = dataclasses.replace(
-                spec, controlnet_cfg=self.m.controlnet_cfg,
-                controlnet_scale=controlnet_conditioning_scale,
+
+        def build_spec(t_window: int):
+            s = self._make_spec(
+                video_num_inference_steps, t_window,
+                min(context_frames, t_window), context_overlap,
+                context_schedule, video_guidance_scale, None,
+                "linear", n_vc, w_ind_noise, noise_type, motion_speed,
+                ip_adapter_scale=ip_adapter_scale,
             )
-        if record_mid_video:
-            spec = dataclasses.replace(
-                spec, record_mid_video=True, video_overlap=video_overlap
-            )
-        if need_middle_latents:
-            spec = dataclasses.replace(spec, record_step_latents=True)
-        if need_video2video:
-            # strength truncates the schedule: only steps [start, N) run
-            # (reference get_timesteps, pipeline_controlnet.py:1627-1641)
-            start = min(
-                int(video_num_inference_steps * (1.0 - video_strength)),
-                video_num_inference_steps - 1,
-            )
-            spec = dataclasses.replace(spec, start_step=start)
+            if self.m.controlnet_cfg is not None:
+                s = dataclasses.replace(
+                    s, controlnet_cfg=self.m.controlnet_cfg,
+                    controlnet_scale=controlnet_conditioning_scale,
+                )
+            if record_mid_video:
+                s = dataclasses.replace(
+                    s, record_mid_video=True,
+                    video_overlap=min(video_overlap, t_window),
+                )
+            if need_middle_latents:
+                s = dataclasses.replace(s, record_step_latents=True)
+            if need_video2video:
+                # strength truncates the schedule: only steps [start, N) run
+                # (reference get_timesteps, pipeline_controlnet.py:1627-1641)
+                start = min(
+                    int(video_num_inference_steps * (1.0 - video_strength)),
+                    video_num_inference_steps - 1,
+                )
+                s = dataclasses.replace(s, start_step=start)
+            return s
+
+        spec = build_spec(time_size)
 
         # reference conditioning is loop-invariant: computed once
         # (the reference also runs ReferenceNet once per pipeline call,
@@ -569,14 +584,23 @@ class MusevPipeline:
             window = np.asarray(window)
             if window.ndim == 4:  # (T, H, W, 3) shared across the batch
                 window = np.broadcast_to(window[None], (b, *window.shape))
-            if window.shape[1] < time_size:
-                break
+            t_w = window.shape[1]
+            if t_w == 0:
+                continue
+            # trailing partial window: its own (smaller-T) static spec —
+            # dropping it would silently lose up to time_size-1 frames
+            spec_w = spec if t_w == time_size else build_spec(t_w)
             control = to_control(window)
             if i_window == 0:
                 if n_vc > 0:
                     if condition_images is not None:
                         condition_latents = self.encode_images(condition_images)
-                    else:
+                        if condition_latents.shape[1] != n_vc:
+                            raise ValueError(
+                                f"{condition_latents.shape[1]} condition "
+                                f"images != n_vision_condition {n_vc}"
+                            )
+                    elif n_vc == 1:
                         key, sub = jax.random.split(key)
                         condition_latents = self.generate_condition_latents(
                             text_c, text_uc, height, width, sub,
@@ -584,29 +608,37 @@ class MusevPipeline:
                             guidance_scale=guidance_scale,
                             noise_type=noise_type, w_ind_noise=w_ind_noise,
                         )
-                cond_control = control[:, :1] if n_vc > 0 else None
+                    else:
+                        raise ValueError(
+                            "n_vision_condition > 1 requires explicit "
+                            "condition_images (the phase-1 T2I generates a "
+                            "single frame, predictor.py:496-582)"
+                        )
+                cond_control = control[:, :n_vc] if n_vc > 0 else None
             else:
-                cond_control = last_control[:, None] if n_vc > 0 else None
+                cond_control = last_control if n_vc > 0 else None
 
             key, sub = jax.random.split(key)
             noise = make_noise(
-                sub, (b, time_size, h, w, c_lat), noise_type=noise_type,
+                sub, (b, t_w, h, w, c_lat), noise_type=noise_type,
                 w_ind_noise=w_ind_noise,
             ).astype(self.dtype)
             if need_video2video:
                 src_lat = self.encode_images(window)
-                latents = spec.scheduler.add_noise(src_lat, noise, spec.start_step)
+                latents = spec_w.scheduler.add_noise(
+                    src_lat, noise, spec_w.start_step
+                )
             else:
                 if condition_latents is not None:
                     cond_mean = jnp.mean(condition_latents, axis=1, keepdims=True)
                     noise = (
                         1e-3**0.5 * cond_mean + (1 - 1e-3) ** 0.5 * noise
                     ).astype(self.dtype)
-                latents = noise * spec.scheduler.init_noise_sigma
+                latents = noise * spec_w.scheduler.init_noise_sigma
 
             ctrl = None
             ctrl_params = None
-            if self.m.controlnet_params is not None and spec.controlnet_cfg is not None:
+            if self.m.controlnet_params is not None and spec_w.controlnet_cfg is not None:
                 parts = ([cond_control] if cond_control is not None else []) + [control]
                 ctrl = jnp.asarray(
                     np.concatenate(parts, axis=1), jnp.float32
@@ -615,7 +647,7 @@ class MusevPipeline:
 
             key, sub = jax.random.split(key)
             out = self._denoise_jit(
-                self.m.unet_params, spec, latents, text_uc, text_c, sub,
+                self.m.unet_params, spec_w, latents, text_uc, text_c, sub,
                 condition_latents=condition_latents,
                 controlnet_params=ctrl_params,
                 control_images=ctrl,
@@ -623,10 +655,10 @@ class MusevPipeline:
                 last_mid_noises=last_mid_noises,
                 **refer_cond,
             )
-            if spec.record_step_latents:
+            if spec_w.record_step_latents:
                 out, step_lats = out[:-1], out[-1]
                 step_latents_all.append(step_lats)
-            if spec.record_mid_video and spec.video_overlap > 0:
+            if spec_w.record_mid_video and spec_w.video_overlap > 0:
                 if isinstance(out, tuple):
                     out, (last_mid_latents, last_mid_noises) = out[0], out[1]
                 mid_lat_np = np.asarray(last_mid_latents)
@@ -637,8 +669,10 @@ class MusevPipeline:
             all_latents.append(full if i_window == 0 else full[:, n_vc:])
             if n_vc > 0:
                 condition_latents = full[:, -n_vc:]
-                last_control = control[:, -1]
+                last_control = control[:, -n_vc:]
 
+        if not all_latents:
+            raise ValueError("video_frames yielded no frames")
         latents_cat = jnp.concatenate(all_latents, axis=1)
         videos = self.decode_latents(latents_cat, segment=decode_segment)
         if need_hist_match:

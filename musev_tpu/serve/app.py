@@ -142,7 +142,12 @@ class OnlineInference:
         request yields exactly 30 generated frames (+1 condition frame)."""
         w, h, _ = limit_shape(image, w, h, img_edge_ratio)
         video_length = min(int(video_length), MAX_FRAMES)
-        seed = int(seed) if seed is not None and int(seed) >= 0 else 0
+        # -1 = random, per the UI label (reference gradio default)
+        seed = (
+            int(seed)
+            if seed is not None and int(seed) >= 0
+            else int(np.random.randint(0, 2**31 - 1))
+        )
         cond = image[None, None] if image is not None else None
         if cond is not None and cond.shape[2:4] != (h, w):
             cond = _resize_frames(np.asarray(image)[None], w, h)[None]
@@ -178,7 +183,12 @@ class OnlineInference:
             video_frames[0] if image is None else image, w, h, img_edge_ratio
         )
         video_frames = _resize_frames(video_frames, w, h)
-        seed = int(seed) if seed is not None and int(seed) >= 0 else 0
+        # -1 = random, per the UI label (reference gradio default)
+        seed = (
+            int(seed)
+            if seed is not None and int(seed) >= 0
+            else int(np.random.randint(0, 2**31 - 1))
+        )
         cond = None
         if image is not None:
             cond = _resize_frames(np.asarray(image)[None], w, h)[None]
@@ -204,7 +214,8 @@ class OnlineInference:
 
 def _to_video_file(frames: np.ndarray, fps: int) -> str:
     """Write frames to a temp mp4 for ``gr.Video`` (which takes a path)."""
-    path = tempfile.mktemp(suffix=".mp4", prefix="musev_")
+    fd, path = tempfile.mkstemp(suffix=".mp4", prefix="musev_")
+    os.close(fd)  # mkstemp is race-free; the writer reopens by path
     from ..io.video import native_available, write_video
 
     if native_available():
@@ -285,11 +296,28 @@ def build_space_demo(
 
     ensure_checkpoints(checkpoint_dir, downloader)
     preset = get_model_preset(model_name, **preset_overrides)
+
+    def resolve(cand: str) -> Optional[str]:
+        """snapshot_download lays out per-model *directories*; the loaders
+        take weight files — pick the weight file inside."""
+        if os.path.isfile(cand):
+            return cand
+        if os.path.isdir(cand):
+            for ext in (".safetensors", ".bin", ".pt", ".pth", ".ckpt"):
+                hits = sorted(
+                    f for f in os.listdir(cand) if f.endswith(ext)
+                )
+                if hits:
+                    return os.path.join(cand, hits[0])
+        return None
+
     for slot in ("unet_checkpoint", "sd_base_checkpoint", "vae_checkpoint",
                  "text_checkpoint"):
         if getattr(preset, slot) is None:
-            cand = os.path.join(checkpoint_dir, slot.replace("_checkpoint", ""))
-            if os.path.exists(cand):
+            cand = resolve(
+                os.path.join(checkpoint_dir, slot.replace("_checkpoint", ""))
+            )
+            if cand is not None:
                 setattr(preset, slot, cand)
     pipe = MusevPipeline(build_models(preset))
     return build_demo(pipe)

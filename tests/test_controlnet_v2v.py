@@ -98,3 +98,48 @@ def test_video2video_control_changes_output(cn_pipeline):
     a = cn_pipeline.video2video("x", video, **kw)
     b = cn_pipeline.video2video("x", np.zeros_like(video), **kw)
     assert np.abs(a.latents - b.latents).max() > 1e-6
+
+
+def test_video2video_partial_tail_window(cn_pipeline):
+    """A source not divisible by time_size keeps its tail frames (the old
+    behavior silently dropped up to time_size-1 frames)."""
+    video = (np.random.RandomState(1).rand(6, 32, 32, 3) * 255).astype(np.uint8)
+    res = cn_pipeline.video2video(
+        "a dancer", video, video_is_middle=True,
+        time_size=4, context_frames=4, context_overlap=1,
+        video_num_inference_steps=2, num_inference_steps=2,
+        height=32, width=32,
+    )
+    # 4 + 2 generated + 1 condition frame
+    assert res.videos.shape == (1, 7, 32, 32, 3)
+    assert np.isfinite(res.videos).all()
+
+
+def test_video2video_short_source(cn_pipeline):
+    """Source shorter than time_size runs as one small window."""
+    video = (np.random.RandomState(2).rand(3, 32, 32, 3) * 255).astype(np.uint8)
+    res = cn_pipeline.video2video(
+        "a dancer", video, video_is_middle=True,
+        time_size=4, context_frames=4, context_overlap=1,
+        video_num_inference_steps=2, num_inference_steps=2,
+        height=32, width=32,
+    )
+    assert res.videos.shape == (1, 4, 32, 32, 3)
+
+
+def test_video2video_validations(cn_pipeline):
+    video = (np.random.RandomState(3).rand(4, 32, 32, 3) * 255).astype(np.uint8)
+    with pytest.raises(ValueError, match="negative_prompt batch"):
+        cn_pipeline.video2video(
+            ["a", "b"], video, negative_prompt=["x", "y", "z"],
+            video_is_middle=True, time_size=4, context_frames=4,
+            context_overlap=1, video_num_inference_steps=2,
+            num_inference_steps=2, height=32, width=32,
+        )
+    with pytest.raises(ValueError, match="no frames"):
+        cn_pipeline.video2video(
+            "a", iter([]), video_is_middle=True, time_size=4,
+            context_frames=4, context_overlap=1,
+            video_num_inference_steps=2, num_inference_steps=2,
+            height=32, width=32,
+        )
