@@ -159,6 +159,7 @@ def main(argv=None):
         from ..io.processors import get_processor
 
         processor = get_processor(args.controlnet_name)
+        seed = int(task.get("seed", args.seed))
         res = pipe.video2video(
             prompt,
             stream_windows(),
@@ -183,7 +184,7 @@ def main(argv=None):
             motion_speed=args.motion_speed,
             controlnet_conditioning_scale=args.controlnet_conditioning_scale,
             refer_image=refer,
-            seed=int(task.get("seed", args.seed)),
+            seed=seed,
             need_hist_match=args.need_hist_match,
             record_mid_video=args.record_mid_video,
             video_overlap=args.video_overlap,
@@ -191,11 +192,20 @@ def main(argv=None):
         out_path = os.path.join(
             args.output_dir,
             f"{args.model_name}_{name}_w={width}_h={height}"
-            f"_t={args.time_size}_s={args.seed}.mp4",
+            f"_t={args.time_size}_s={seed}.mp4",
         )
         reader.close()
         frames_out = (res.videos[0] * 255).astype(np.uint8)
-        write_video(out_path, frames_out, fps=args.fps)
+        if native_available():
+            write_video(out_path, frames_out, fps=args.fps)
+        else:  # fallback: png frames (parity with text2video)
+            from PIL import Image
+
+            base = out_path[:-4]
+            os.makedirs(base, exist_ok=True)
+            for i, f in enumerate(frames_out):
+                Image.fromarray(f).save(f"{base}/{i:05d}.png")
+            out_path = base
         print(f"wrote {out_path} ({frames_out.shape[0]} frames)")
 
 

@@ -2,9 +2,12 @@
 
 Reference: configs/tasks/example.yaml loaded via OmegaConf at
 scripts/inference/text2video.py:808-820, plus CSV tables via mmcm
-generate_tasks_from_table. Here the interpolation subset the example files
-actually use — relative ``${.key}`` and ``{key}`` format refs — is resolved
-without an OmegaConf dependency.
+generate_tasks_from_table. Only OmegaConf-style ``${.key}`` interpolation
+is resolved at load time; bare ``{key}`` braces are deliberately LEFT
+ALONE — they belong to the auto-prompt attribute registry
+(autoprompt.attributes has_key_brace / attr2template, reference
+text2video.py:829), which renders them later with attribute semantics
+('black' -> 'black hair', render presets, '|' task fan-out).
 """
 
 from __future__ import annotations
@@ -16,7 +19,6 @@ from typing import Any, Dict, List
 import yaml
 
 _REF = re.compile(r"\$\{\.?([A-Za-z0-9_]+)\}")
-_FMT = re.compile(r"\{([A-Za-z0-9_]+)\}")
 
 
 def _resolve(task: Dict[str, Any]) -> Dict[str, Any]:
@@ -30,10 +32,6 @@ def _resolve(task: Dict[str, Any]) -> Dict[str, Any]:
                 key = m.group(1)
                 return str(out.get(key, m.group(0)))
             nv = _REF.sub(sub_ref, v)
-            nv = _FMT.sub(
-                lambda m: str(out[m.group(1)]) if m.group(1) in out else m.group(0),
-                nv,
-            )
             if nv != v:
                 out[k] = nv
                 changed = True

@@ -148,14 +148,16 @@ def init_attention(
         ),
     }
     if ip_kv_dim is not None:
-        p["to_k_ip"] = init_linear(ks[4], ip_kv_dim, query_dim, use_bias=False, dtype=dtype)
-        p["to_v_ip"] = init_linear(ks[4], ip_kv_dim, query_dim, use_bias=False, dtype=dtype)
+        k_a, k_b = jax.random.split(ks[4])
+        p["to_k_ip"] = init_linear(k_a, ip_kv_dim, query_dim, use_bias=False, dtype=dtype)
+        p["to_v_ip"] = init_linear(k_b, ip_kv_dim, query_dim, use_bias=False, dtype=dtype)
     if ip_face_kv_dim is not None:
+        k_a, k_b = jax.random.split(ks[5])
         p["to_k_ip_face"] = init_linear(
-            ks[5], ip_face_kv_dim, query_dim, use_bias=False, dtype=dtype
+            k_a, ip_face_kv_dim, query_dim, use_bias=False, dtype=dtype
         )
         p["to_v_ip_face"] = init_linear(
-            ks[5], ip_face_kv_dim, query_dim, use_bias=False, dtype=dtype
+            k_b, ip_face_kv_dim, query_dim, use_bias=False, dtype=dtype
         )
     return p
 

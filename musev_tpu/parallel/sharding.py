@@ -55,7 +55,8 @@ def _tp_spec(path, leaf, size: int):
         # disjoint device subsets under a plain column split, forcing a
         # permute before the elementwise gate. A (dim, 2, inner) kernel
         # re-layout would fix it; measure before adding.
-        if grandp == "resnet" and leaf.ndim == 4:
+        # down/up blocks key resnets "resnet"; mid blocks "resnet_0"/"resnet_1"
+        if grandp.startswith("resnet") and leaf.ndim == 4:
             # resnet conv1 -> out-split, conv2 -> in-split (psum)
             if parent == "conv1":
                 return col(leaf.ndim)

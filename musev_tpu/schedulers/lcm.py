@@ -36,6 +36,11 @@ class LCMScheduler:
         original_inference_steps: int = 50,
     ):
         config = config or ScheduleConfig()
+        if num_inference_steps > original_inference_steps:
+            raise ValueError(
+                f"LCM num_inference_steps ({num_inference_steps}) must be <= "
+                f"original_inference_steps ({original_inference_steps})"
+            )
         k = config.num_train_timesteps // original_inference_steps
         lcm_origin_timesteps = np.arange(1, original_inference_steps + 1) * k - 1
         skipping = len(lcm_origin_timesteps) // num_inference_steps

@@ -26,7 +26,6 @@ class InversionTokenizer:
         self.pad_token_id = base.pad_token_id
         self.model_max_length = base.model_max_length
         self.vocab_size = getattr(base, "vocab_size", None)
-        self._next_id = None  # set on first registration
 
     def register(self, trigger: str, n_vectors: int, first_id: int) -> List[int]:
         ids = list(range(first_id, first_id + n_vectors))

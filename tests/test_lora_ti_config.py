@@ -116,7 +116,14 @@ def test_task_yaml_interpolation(tmp_path):
     tasks = load_tasks(str(p))
     assert tasks[0]["ipadapter_image"] == "./img.png"
     assert tasks[0]["refer_image"] == "./img.png"
-    assert "(eye blinks:1.8)" in tasks[0]["prompt"]
+    # {key} braces are NOT resolved at load time — they belong to the
+    # auto-prompt layer (reference generate_prompts, text2video.py:829),
+    # which renders them with attribute semantics
+    assert "{eye_blinks_factor}" in tasks[0]["prompt"]
+    from musev_tpu.autoprompt import generate_prompts
+
+    rendered = generate_prompts(tasks)
+    assert "(eye blinks:1.8)" in rendered[0]["prompt"]
 
 
 def test_reference_example_yaml_loads():
