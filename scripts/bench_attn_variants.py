@@ -590,8 +590,8 @@ def make_mdma(block_q, sub_kv):
             in_specs=[
                 pl.BlockSpec((1, bq, d), lambda b, iq: (b, iq, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, bq, d), lambda b, iq: (b, iq, 0),
                                    memory_space=pltpu.VMEM),
