@@ -201,7 +201,8 @@ def make_stacked_window_plan(
         windows[i] = padded
         c = np.zeros((num_frames,), np.float32)
         np.add.at(c, padded.reshape(-1), 1.0)
-        counts[i] = np.maximum(c, 1.0)
+        # uncovered frames already raise in make_window_plan above
+        counts[i] = c
     return StackedWindowPlan(windows=windows, counts=counts, num_frames=num_frames)
 
 
@@ -242,6 +243,15 @@ def make_window_plan(
     windows = np.asarray(wins, dtype=np.int32)
     counts = np.zeros((num_frames,), dtype=np.float32)
     np.add.at(counts, windows.reshape(-1), 1.0)
-    # frames not covered by any window keep count 1 to avoid div-by-zero
-    counts = np.maximum(counts, 1.0)
+    # A frame no window touches would silently denoise with noise_pred=0
+    # (stepped as if the model predicted zero noise) — refuse the plan
+    # instead of clamping. Reachable only with exotic `uniform`
+    # stride/overlap combinations; uniform_v2 always covers [0, T).
+    uncovered = np.flatnonzero(counts == 0)
+    if uncovered.size:
+        raise ValueError(
+            f"window plan (schedule={schedule!r}, context={context_frames}, "
+            f"overlap={context_overlap}, stride={context_stride}) leaves "
+            f"frames {uncovered.tolist()} uncovered of {num_frames}"
+        )
     return WindowPlan(windows=windows, counts=counts, num_frames=num_frames)

@@ -224,8 +224,8 @@ def build_models(
             f"{preset.lcm_lora_checkpoint}:{preset.lcm_lora_scale}"
         )
     for spec in lora_entries:
-        path, scale = _split_path_arg(spec)
-        scale = 1.0 if scale is None else float(scale)
+        path, suffix = _split_path_arg(spec)
+        scale = _parse_scale(suffix, spec)
         if not os.path.exists(path):
             logger.warning("lora missing: %s", path)
             continue
@@ -251,11 +251,33 @@ def build_models(
 
 
 def _split_path_arg(spec: str):
-    """'path' or 'path:suffix' -> (path, suffix); Windows-drive-safe is not a
-    concern here, but real paths may contain ':' only in the suffix position."""
+    """Parse 'path', 'path:suffix' or 'path=suffix' -> (path, suffix).
+
+    '=' is the unambiguous form (paths may legally contain ':'); for ':'
+    the split is rejected in favour of the whole spec when the whole spec
+    names an existing file and the head doesn't (a path with a ':' in it).
+    """
+    if "=" in spec:
+        path, suffix = spec.rsplit("=", 1)
+        return path, suffix
     if ":" in spec:
         path, suffix = spec.rsplit(":", 1)
         if os.path.exists(spec) and not os.path.exists(path):
             return spec, None
         return path, suffix
     return spec, None
+
+
+def _parse_scale(suffix, spec: str) -> float:
+    """Scale suffix of a 'path:scale' spec, with a actionable error."""
+    if suffix is None:
+        return 1.0
+    try:
+        return float(suffix)
+    except ValueError:
+        raise ValueError(
+            f"malformed LoRA spec {spec!r}: expected 'path', 'path:scale' or "
+            f"'path=scale' with a numeric scale, got suffix {suffix!r}. "
+            "If the checkpoint path itself contains ':', use the '=' form: "
+            "'/my:path/lora.safetensors=0.8'."
+        ) from None

@@ -64,3 +64,15 @@ def test_make_window_plan_uniform():
     )
     assert plan.window_size == 12
     assert plan.counts.min() >= 1.0
+
+
+def test_make_window_plan_raises_on_uncovered_frames(monkeypatch):
+    # No public schedule produces an uncovered frame (uniform wraps,
+    # uniform_v2 tail-snaps), so fabricate one: a frame no window touches
+    # must raise instead of silently denoising with noise_pred=0.
+    monkeypatch.setattr(
+        context, "uniform_v2_windows",
+        lambda num_frames, context_size, context_overlap=4: [[0, 1], [4, 5]],
+    )
+    with pytest.raises(ValueError, match="uncovered"):
+        context.make_window_plan(6, 2, context_overlap=0)

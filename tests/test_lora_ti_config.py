@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from musev_tpu.configs.model_registry import (
     get_model_preset,
@@ -211,3 +212,22 @@ def test_enable_lcm_switches_scheduler(tmp_path):
     assert pipe.scheduler_name == "euler"
     pipe.enable_lcm()
     assert pipe.scheduler_name == "lcm"
+
+
+def test_split_path_arg_forms(tmp_path):
+    from musev_tpu.pipelines.loader import _parse_scale, _split_path_arg
+
+    assert _split_path_arg("a.safetensors") == ("a.safetensors", None)
+    assert _split_path_arg("a.safetensors:0.5") == ("a.safetensors", "0.5")
+    # '=' form disambiguates paths containing ':'
+    assert _split_path_arg("/my:dir/a.st=0.8") == ("/my:dir/a.st", "0.8")
+    assert _split_path_arg("emb.pt=trigger") == ("emb.pt", "trigger")
+    # an existing file whose name contains ':' wins over a bogus split
+    weird = tmp_path / "lo:ra.safetensors"
+    weird.write_bytes(b"")
+    assert _split_path_arg(str(weird)) == (str(weird), None)
+
+    assert _parse_scale(None, "x") == 1.0
+    assert _parse_scale("0.25", "x") == 0.25
+    with pytest.raises(ValueError, match="malformed LoRA spec"):
+        _parse_scale("ra.safetensors", "/my:path/lo:ra.safetensors")
