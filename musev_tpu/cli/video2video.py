@@ -23,6 +23,9 @@ def parse_args(argv=None):
     p.add_argument("--model_name", type=str, default="musev_referencenet_pose")
     p.add_argument("--unet_checkpoint", type=str, default=None)
     p.add_argument("--controlnet_checkpoint", type=str, default=None)
+    p.add_argument("--pose_guider_model_path", type=str, default=None,
+                   help="Moore-AnimateAnyone PoseGuider checkpoint "
+                        "(reference video2video.py:531-534)")
     p.add_argument("--tokenizer_path", type=str, default=None)
     p.add_argument("--time_size", type=int, default=12)
     p.add_argument("--fps", type=int, default=12)
@@ -90,6 +93,7 @@ def main(argv=None):
         args.model_name,
         unet_checkpoint=args.unet_checkpoint,
         controlnet_checkpoint=args.controlnet_checkpoint,
+        pose_guider_checkpoint=args.pose_guider_model_path,
         tokenizer_path=args.tokenizer_path,
         lora_checkpoints=args.lora_path,
         textual_inversion_checkpoints=args.textual_inversion,

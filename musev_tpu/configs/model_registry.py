@@ -35,6 +35,11 @@ class ModelPreset:
     ip_adapter_clip_dim: int = 1024
     ip_adapter_tokens: int = 4
     ip_adapter_face_id_dim: int = 512
+    # reference configs/model/ip_adapter.py model_name: "IPAdapter" (pooled
+    # emb -> ImageProjModel) or "IPAdapterPlus"/"IPAdapterPlus-face"
+    # (penultimate patch tokens -> perceiver Resampler with 16 queries,
+    # ip_adapter_loader.py:95-111)
+    ip_adapter_model_name: str = "IPAdapter"
     # checkpoint path slots (filled by the user / task config)
     unet_checkpoint: Optional[str] = None
     sd_base_checkpoint: Optional[str] = None
@@ -44,6 +49,10 @@ class ModelPreset:
     ip_adapter_checkpoint: Optional[str] = None
     ip_adapter_face_checkpoint: Optional[str] = None
     controlnet_checkpoint: Optional[str] = None
+    # Moore-AnimateAnyone-style PoseGuider stem (video2video.py:531-534,
+    # pipeline_controlnet.py:229-231); built when a checkpoint is given
+    pose_guider_checkpoint: Optional[str] = None
+    pose_guider_cfg: Optional[ControlNetConfig] = None
     tokenizer_path: Optional[str] = None
     # user-surface adapters (predictor.py:248-254 textual inversion,
     # :296-306 LCM-LoRA, :311-327 LoRA): entries are "path", "path:scale"

@@ -402,6 +402,14 @@ def _transform(kind: str, suffix: str, arr: np.ndarray) -> Tuple[str, np.ndarray
             # (O, I, kT, 1, 1) -> (kT, 1, I, O)
             return "kernel", np.ascontiguousarray(arr[:, :, :, :, 0].transpose(2, 3, 1, 0))
         return "bias", arr
+    if kind == "conv3d_spatial":
+        if suffix == "weight":
+            # InflatedConv3d (O, I, 1, kH, kW) -> (kH, kW, I, O); plain 2D
+            # conv weights (O, I, kH, kW) accepted too
+            if arr.ndim == 5:
+                arr = arr[:, :, 0]
+            return "kernel", np.ascontiguousarray(arr.transpose(2, 3, 1, 0))
+        return "bias", arr
     if kind == "norm":
         return ("scale" if suffix == "weight" else "bias"), arr
     raise ValueError(kind)
@@ -465,7 +473,15 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if "state_dict" in sd:
         sd = sd["state_dict"]
-    return {k: v.float().numpy() for k, v in sd.items()}
+
+    def conv(v):
+        # IP-Adapter .bin files nest subdicts ({"image_proj": ..,
+        # "ip_adapter": ..}); preserve the nesting as numpy trees
+        if isinstance(v, dict):
+            return {k: conv(x) for k, x in v.items()}
+        return v.float().numpy()
+
+    return {k: conv(v) for k, v in sd.items()}
 
 
 def convert_unet3d(params, cfg: UNet3DConfig, state_dict) -> Tuple[int, List[str]]:
@@ -492,6 +508,25 @@ def convert_controlnet(
     params, cfg: ControlNetConfig, state_dict
 ) -> Tuple[int, List[str]]:
     return apply_state_dict(params, list(controlnet_key_map(cfg)), state_dict)
+
+
+def pose_guider_key_map(cfg: ControlNetConfig) -> Iterator[KeyEntry]:
+    """Moore-AnimateAnyone PoseGuider (reference musev/models/controlnet.py:
+    326-371): conv_in + (conv, strided conv) pairs + zero conv_out, all
+    InflatedConv3d (kT=1), SiLU between. Same tree as our controlnet
+    cond_embedding stem."""
+    yield "conv_in", ("conv_in",), "conv3d_spatial"
+    n_pairs = len(cfg.cond_embed_channels) - 1
+    for i in range(n_pairs):
+        yield f"blocks.{2 * i}", ("blocks", i, "conv1"), "conv3d_spatial"
+        yield f"blocks.{2 * i + 1}", ("blocks", i, "conv2"), "conv3d_spatial"
+    yield "conv_out", ("conv_out",), "conv3d_spatial"
+
+
+def convert_pose_guider(
+    params, cfg: ControlNetConfig, state_dict
+) -> Tuple[int, List[str]]:
+    return apply_state_dict(params, list(pose_guider_key_map(cfg)), state_dict)
 
 
 def export_unet3d(params, cfg: UNet3DConfig) -> Dict[str, np.ndarray]:
@@ -591,6 +626,52 @@ def convert_image_proj(proj_params, state_dict: Dict[str, np.ndarray]) -> int:
     if "norm.bias" in sd:
         proj_params["norm"]["bias"] = np.asarray(sd["norm.bias"])
         n += 1
+    return n
+
+
+def convert_resampler(res_params, state_dict: Dict[str, np.ndarray]) -> int:
+    """Load a tencent-ailab Resampler state dict ("image_proj" subdict of an
+    ip-adapter-plus_sd15.bin: latents, proj_in/out, norm_out, and per depth
+    layers.{i}.0 = PerceiverAttention(norm1=media norm, norm2=latent norm,
+    to_q, to_kv, to_out) + layers.{i}.1 = FeedForward(LN, Linear, GELU,
+    Linear)) into our resampler params (reference ip_adapter_loader.py:95-111
+    selecting Resampler for IPAdapterPlus)."""
+    sd = state_dict.get("image_proj", state_dict)
+    n = 0
+
+    def set_linear(node, torch_key):
+        nonlocal n
+        if f"{torch_key}.weight" in sd:
+            node["kernel"] = np.ascontiguousarray(
+                np.asarray(sd[f"{torch_key}.weight"]).T
+            )
+            n += 1
+        if f"{torch_key}.bias" in sd and "bias" in node:
+            node["bias"] = np.asarray(sd[f"{torch_key}.bias"])
+            n += 1
+
+    def set_norm(node, torch_key):
+        nonlocal n
+        if f"{torch_key}.weight" in sd:
+            node["scale"] = np.asarray(sd[f"{torch_key}.weight"])
+            node["bias"] = np.asarray(sd[f"{torch_key}.bias"])
+            n += 2
+
+    if "latents" in sd:
+        res_params["latents"] = np.asarray(sd["latents"])[0]  # (1, Q, D)->(Q, D)
+        n += 1
+    set_linear(res_params["proj_in"], "proj_in")
+    set_linear(res_params["proj_out"], "proj_out")
+    set_norm(res_params["norm_out"], "norm_out")
+    for i, layer in enumerate(res_params["layers"]):
+        set_norm(layer["norm_media"], f"layers.{i}.0.norm1")  # media norm
+        set_norm(layer["norm1"], f"layers.{i}.0.norm2")  # latent norm
+        set_linear(layer["to_q"], f"layers.{i}.0.to_q")
+        set_linear(layer["to_kv"], f"layers.{i}.0.to_kv")
+        set_linear(layer["to_out"], f"layers.{i}.0.to_out")
+        set_norm(layer["ff_norm"], f"layers.{i}.1.0")
+        set_linear(layer["ff1"], f"layers.{i}.1.1")
+        set_linear(layer["ff2"], f"layers.{i}.1.3")
     return n
 
 

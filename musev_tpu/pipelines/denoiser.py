@@ -63,6 +63,12 @@ class DenoiseSpec:
     start_step: int = 0
     controlnet_cfg: Optional["ControlNetConfig"] = None
     controlnet_scale: float = 1.0
+    # PoseGuider (reference pipeline_controlnet.py:1774-1783): a conv stem
+    # over the control images whose output is added to the UNet's conv_in
+    # activations. Unlike the reference (which passes the whole-video emb to
+    # every window and therefore only works when one window spans the video),
+    # the emb here is gathered per window like the controlnet maps.
+    pose_guider_cfg: Optional["ControlNetConfig"] = None
     dp_axis: Optional[str] = None  # mesh axis to shard the window batch over
     # mesh axis for tensor parallelism: params are pre-sharded with
     # parallel.sharding.shard_params_tp (Megatron column/row splits) and XLA
@@ -82,8 +88,8 @@ class DenoiseSpec:
              self.ip_adapter_face_scale, self.skip_temporal,
              self.video_overlap, self.record_mid_video,
              self.record_step_latents, self.start_step,
-             self.controlnet_cfg, self.controlnet_scale, self.dp_axis,
-             self.tp_axis, self.sp_axis)
+             self.controlnet_cfg, self.controlnet_scale, self.pose_guider_cfg,
+             self.dp_axis, self.tp_axis, self.sp_axis)
         )
 
     def __eq__(self, other):
@@ -120,6 +126,7 @@ def predict_noise(
     refer_self_attn_embs=None,
     controlnet_params=None,
     control_images=None,
+    pose_guider_params=None,
 ) -> jnp.ndarray:
     """One full VCPD noise prediction over all windows.
 
@@ -134,7 +141,7 @@ def predict_noise(
             params, spec, latents, step_index, text_uc, text_c,
             condition_latents, vision_clip_emb, ip_adapter_face_emb,
             refer_embs, mid_refer_emb, refer_self_attn_embs,
-            controlnet_params, control_images,
+            controlnet_params, control_images, pose_guider_params,
         )
 
 
@@ -153,6 +160,7 @@ def _predict_noise_inner(
     refer_self_attn_embs=None,
     controlnet_params=None,
     control_images=None,
+    pose_guider_params=None,
 ) -> jnp.ndarray:
     b, t, h, w, c = latents.shape
     plan = spec.plan
@@ -211,9 +219,11 @@ def _predict_noise_inner(
         return tile_rows(e) if e is not None else None
 
     cn_down = cn_mid = None
-    if controlnet_params is not None and spec.controlnet_cfg is not None:
+    pose_guider_emb = None
+    use_cn = controlnet_params is not None and spec.controlnet_cfg is not None
+    use_pg = pose_guider_params is not None and spec.pose_guider_cfg is not None
+    if use_cn or use_pg:
         assert control_images is not None
-        t_step = jnp.asarray(spec.scheduler.timesteps)[step_index]
         # per-window control frames: [viscond maps; window maps]
         if n_vc > 0:
             vc_idx = jnp.broadcast_to(
@@ -228,6 +238,19 @@ def _predict_noise_inner(
             g = jnp.concatenate([g] * reps, axis=0)
             return g.reshape(-1, *imgs.shape[2:])
 
+    if use_pg:
+        from ..models.controlnet import pose_guider_apply
+
+        pg_imgs = (
+            control_images[0]
+            if isinstance(control_images, (list, tuple))
+            else control_images
+        )
+        pose_guider_emb = pose_guider_apply(
+            pose_guider_params, gather_ctrl(pg_imgs).astype(model_in.dtype)
+        )
+    if use_cn:
+        t_step = jnp.asarray(spec.scheduler.timesteps)[step_index]
         if isinstance(control_images, (list, tuple)):
             ctrl_frames = [gather_ctrl(ci) for ci in control_images]
         else:
@@ -303,6 +326,7 @@ def _predict_noise_inner(
         refer_self_attn_mode="read" if refer_self_attn_embs is not None else None,
         controlnet_down_residuals=cn_down,
         controlnet_mid_residual=cn_mid,
+        pose_guider_emb=pose_guider_emb,
     )
     if cond is not None:
         out = jnp.take(out, jnp.asarray(gen_index, jnp.int32), axis=1)
@@ -336,6 +360,7 @@ def denoise_loop(
     refer_self_attn_embs=None,
     controlnet_params=None,
     control_images=None,
+    pose_guider_params=None,
     last_mid_latents=None,
     last_mid_noises=None,
 ):
@@ -371,6 +396,7 @@ def denoise_loop(
             refer_self_attn_embs=refer_self_attn_embs,
             controlnet_params=controlnet_params,
             control_images=control_images,
+            pose_guider_params=pose_guider_params,
         )
         if last_mid_noises is not None and ov > 0:
             fused = fuse_part_tensor(

@@ -142,18 +142,46 @@ def build_models(
     if preset.clip_vision_cfg is not None:
         kwargs["clip_vision_params"] = init(init_clip_vision, preset.clip_vision_cfg, 4)
         kwargs["clip_vision_cfg"] = preset.clip_vision_cfg
-        ip_proj = init_image_proj(
-            jax.random.fold_in(key, 5),
-            clip_dim=preset.ip_adapter_clip_dim,
-            cross_dim=preset.unet_cfg.cross_attention_dim,
-            num_tokens=preset.ip_adapter_tokens,
-            dtype=dtype,
-        )
+        is_plus = "Plus" in preset.ip_adapter_model_name
+        if is_plus:
+            # IPAdapterPlus(+face): perceiver Resampler over patch tokens
+            # (ip_adapter_loader.py:95-111: dim=cross_attention_dim, depth 4,
+            # heads 12, num_queries=clip_extra_context_tokens,
+            # embedding_dim=vision hidden size)
+            from ..models.ip_adapter import ResamplerConfig, init_resampler
+
+            cross = preset.unet_cfg.cross_attention_dim
+            res_cfg = ResamplerConfig(
+                dim=cross,
+                depth=4,
+                # reference: heads=12, dim_head=64 at cross=768; for shrunk
+                # test configs fall back to the UNet's head count
+                heads=12 if cross % 12 == 0 else preset.unet_cfg.attention_heads,
+                num_queries=preset.ip_adapter_tokens,
+                embedding_dim=preset.clip_vision_cfg.hidden_size,
+                output_dim=cross,
+            )
+            ip_proj = init_resampler(
+                jax.random.fold_in(key, 5), res_cfg, dtype=dtype
+            )
+            kwargs["ip_proj_kind"] = "resampler"
+            kwargs["ip_resampler_cfg"] = res_cfg
+        else:
+            ip_proj = init_image_proj(
+                jax.random.fold_in(key, 5),
+                clip_dim=preset.ip_adapter_clip_dim,
+                cross_dim=preset.unet_cfg.cross_attention_dim,
+                num_tokens=preset.ip_adapter_tokens,
+                dtype=dtype,
+            )
         if preset.ip_adapter_checkpoint and os.path.exists(
             preset.ip_adapter_checkpoint
         ):
             ip_sd = _load_state_dict(preset.ip_adapter_checkpoint)
-            n1 = sd_weights.convert_image_proj(ip_proj, ip_sd)
+            if is_plus:
+                n1 = sd_weights.convert_resampler(ip_proj, ip_sd)
+            else:
+                n1 = sd_weights.convert_image_proj(ip_proj, ip_sd)
             n2 = sd_weights.convert_ip_adapter_unet(
                 unet_params, preset.unet_cfg, ip_sd
             )
@@ -188,6 +216,30 @@ def build_models(
             logger.info("controlnet: %d tensors loaded", n)
         kwargs["controlnet_params"] = cnp
         kwargs["controlnet_cfg"] = preset.controlnet_cfg
+    if preset.pose_guider_checkpoint:
+        from ..models.controlnet import ControlNetConfig, init_pose_guider
+
+        # the guider's conv_out must match the UNet's conv_in width
+        # (block_out_channels[0]): its emb is added post-conv_in
+        pg_cfg = preset.pose_guider_cfg or ControlNetConfig(
+            block_out_channels=preset.unet_cfg.block_out_channels,
+            cross_attention_dim=preset.unet_cfg.cross_attention_dim,
+            attention_heads=preset.unet_cfg.attention_heads,
+            norm_num_groups=preset.unet_cfg.norm_num_groups,
+        )
+        pgp = init(init_pose_guider, pg_cfg, 7)
+        if os.path.exists(preset.pose_guider_checkpoint):
+            n, _ = sd_weights.convert_pose_guider(
+                pgp, pg_cfg, _load_state_dict(preset.pose_guider_checkpoint)
+            )
+            logger.info("pose_guider: %d tensors loaded", n)
+        else:
+            logger.warning(
+                "pose_guider checkpoint missing: %s (random init)",
+                preset.pose_guider_checkpoint,
+            )
+        kwargs["pose_guider_params"] = pgp
+        kwargs["pose_guider_cfg"] = pg_cfg
 
     tokenizer = _tokenizer_for(preset)
 

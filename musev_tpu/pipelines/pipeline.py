@@ -31,7 +31,7 @@ from ..models.clip_vision import (
     preprocess_clip_image,
 )
 from ..models.controlnet import ControlNetConfig
-from ..models.ip_adapter import image_proj, mlp_proj
+from ..models.ip_adapter import ResamplerConfig, image_proj, mlp_proj, resampler
 from ..models.referencenet import ReferenceNetConfig, referencenet_apply
 from ..models.unet3d import UNet3DConfig
 from ..models.vae import (
@@ -63,9 +63,16 @@ class MusevModels:
     clip_vision_params: Optional[dict] = None
     clip_vision_cfg: Optional[CLIPVisionConfig] = None
     ip_proj_params: Optional[dict] = None
+    # "image_proj" (pooled -> ImageProjModel) or "resampler"
+    # (IP-Adapter-Plus: penultimate patch tokens -> perceiver Resampler)
+    ip_proj_kind: str = "image_proj"
+    ip_resampler_cfg: Optional["ResamplerConfig"] = None
     ip_face_proj_params: Optional[dict] = None
     controlnet_params: Optional[dict] = None
     controlnet_cfg: Optional[ControlNetConfig] = None
+    # PoseGuider stem (reference pipeline_controlnet.py:229-231, 1774-1783)
+    pose_guider_params: Optional[dict] = None
+    pose_guider_cfg: Optional[ControlNetConfig] = None
 
 
 @dataclasses.dataclass
@@ -363,11 +370,27 @@ class MusevPipeline:
                 jnp.asarray(images_bn.reshape(b * n, *images_bn.shape[2:])),
                 m.clip_vision_cfg.image_size,
             )
-            _, pooled = clip_vision_encode(
-                m.clip_vision_params, m.clip_vision_cfg, pixels
-            )
-            cond = image_proj(m.ip_proj_params, pooled)
-            uncond = image_proj(m.ip_proj_params, jnp.zeros_like(pooled))
+            if m.ip_proj_kind == "resampler":
+                # IP-Adapter-Plus: perceiver Resampler over the penultimate
+                # layer's patch tokens (ip_adapter_loader.py:95-111 +
+                # ImageClipVisionFeatureExtractorV2); uncond = proj of zero
+                # tokens, matching the pooled path's proj(zeros) convention
+                # (pipeline_controlnet.py:736-774)
+                tokens, _ = clip_vision_encode(
+                    m.clip_vision_params, m.clip_vision_cfg, pixels,
+                    penultimate=True,
+                )
+                cond = resampler(m.ip_proj_params, m.ip_resampler_cfg, tokens)
+                uncond = resampler(
+                    m.ip_proj_params, m.ip_resampler_cfg,
+                    jnp.zeros_like(tokens),
+                )
+            else:
+                _, pooled = clip_vision_encode(
+                    m.clip_vision_params, m.clip_vision_cfg, pixels
+                )
+                cond = image_proj(m.ip_proj_params, pooled)
+                uncond = image_proj(m.ip_proj_params, jnp.zeros_like(pooled))
             k = cond.shape[1]
             cond = cond.reshape(b, n * k, -1)
             uncond = uncond.reshape(b, n * k, -1)
@@ -548,6 +571,8 @@ class MusevPipeline:
                     s, controlnet_cfg=self.m.controlnet_cfg,
                     controlnet_scale=controlnet_conditioning_scale,
                 )
+            if self.m.pose_guider_cfg is not None:
+                s = dataclasses.replace(s, pose_guider_cfg=self.m.pose_guider_cfg)
             if record_mid_video:
                 s = dataclasses.replace(
                     s, record_mid_video=True,
@@ -638,11 +663,21 @@ class MusevPipeline:
 
             ctrl = None
             ctrl_params = None
-            if self.m.controlnet_params is not None and spec_w.controlnet_cfg is not None:
+            pg_params = self.m.pose_guider_params \
+                if spec_w.pose_guider_cfg is not None else None
+            need_ctrl = (
+                self.m.controlnet_params is not None
+                and spec_w.controlnet_cfg is not None
+            ) or pg_params is not None
+            if need_ctrl:
                 parts = ([cond_control] if cond_control is not None else []) + [control]
                 ctrl = jnp.asarray(
                     np.concatenate(parts, axis=1), jnp.float32
                 ) / 255.0
+            if (
+                self.m.controlnet_params is not None
+                and spec_w.controlnet_cfg is not None
+            ):
                 ctrl_params = self.m.controlnet_params
 
             key, sub = jax.random.split(key)
@@ -651,6 +686,7 @@ class MusevPipeline:
                 condition_latents=condition_latents,
                 controlnet_params=ctrl_params,
                 control_images=ctrl,
+                pose_guider_params=pg_params,
                 last_mid_latents=last_mid_latents,
                 last_mid_noises=last_mid_noises,
                 **refer_cond,
@@ -810,6 +846,8 @@ class MusevPipeline:
                 controlnet_cfg=self.m.controlnet_cfg,
                 controlnet_scale=controlnet_conditioning_scale,
             )
+        if control_images is not None and self.m.pose_guider_cfg is not None:
+            spec = dataclasses.replace(spec, pose_guider_cfg=self.m.pose_guider_cfg)
         if record_mid_video:
             spec = dataclasses.replace(
                 spec, record_mid_video=True, video_overlap=video_overlap
@@ -865,7 +903,10 @@ class MusevPipeline:
 
             key, sub = jax.random.split(key)
             ctrl = None
-            if control_images is not None and spec.controlnet_cfg is not None:
+            if control_images is not None and (
+                spec.controlnet_cfg is not None
+                or spec.pose_guider_cfg is not None
+            ):
                 lo = i_batch * video_length
                 ctrl_gen = control_images[:, n_vision_condition + lo:
                                           n_vision_condition + lo + video_length]
@@ -877,8 +918,12 @@ class MusevPipeline:
                 self.m.unet_params, spec, latents, text_uc, text_c, sub,
                 condition_latents=condition_latents,
                 controlnet_params=self.m.controlnet_params
-                if ctrl is not None else None,
+                if ctrl is not None and spec.controlnet_cfg is not None
+                else None,
                 control_images=ctrl,
+                pose_guider_params=self.m.pose_guider_params
+                if ctrl is not None and spec.pose_guider_cfg is not None
+                else None,
                 last_mid_latents=last_mid_latents,
                 last_mid_noises=last_mid_noises,
                 **refer_cond,

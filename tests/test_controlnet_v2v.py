@@ -143,3 +143,99 @@ def test_video2video_validations(cn_pipeline):
             video_num_inference_steps=2, num_inference_steps=2,
             height=32, width=32,
         )
+
+
+@pytest.fixture(scope="module")
+def pg_pipeline():
+    """Pipeline with ONLY a PoseGuider (no controlnet), zero-init conv_out
+    perturbable per test via params mutation."""
+    unet_cfg = UNet3DConfig(
+        block_out_channels=(8, 8, 16, 16), layers_per_block=2,
+        cross_attention_dim=16, attention_heads=4, norm_num_groups=4,
+    )
+    vae_cfg = VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                        norm_num_groups=4)
+    text_cfg = CLIPTextConfig(vocab_size=500, hidden_size=16, num_layers=1,
+                              num_heads=4, intermediate_size=32)
+    k = jax.random.PRNGKey(0)
+    pg_params = init_pose_guider(jax.random.fold_in(k, 3), CN_CFG)
+    models = MusevModels(
+        unet_params=init_unet3d(jax.random.fold_in(k, 0), unet_cfg),
+        unet_cfg=unet_cfg,
+        vae_params=init_vae(jax.random.fold_in(k, 1), vae_cfg),
+        vae_cfg=vae_cfg,
+        text_params=init_clip_text(jax.random.fold_in(k, 2), text_cfg),
+        text_cfg=text_cfg,
+        tokenizer=HashTokenizer(500),
+        pose_guider_params=pg_params,
+        pose_guider_cfg=CN_CFG,
+    )
+    return MusevPipeline(models)
+
+
+def test_pose_guider_zero_init_is_identity(pg_pipeline):
+    """At init the PoseGuider's conv_out is zero, so its post-conv_in add is
+    the identity: output equals a pipeline with no pose guider at all
+    (reference zero_module, musev/models/controlnet.py:352-359)."""
+    video = (np.random.RandomState(0).rand(4, 32, 32, 3) * 255).astype(np.uint8)
+    kw = dict(video_is_middle=True, time_size=4, context_frames=4,
+              context_overlap=1, video_num_inference_steps=2,
+              num_inference_steps=2, height=32, width=32, seed=1)
+    with_pg = pg_pipeline.video2video("x", video, **kw)
+    saved = pg_pipeline.m.pose_guider_params
+    pg_pipeline.m.pose_guider_params = None
+    try:
+        without = pg_pipeline.video2video("x", video, **kw)
+    finally:
+        pg_pipeline.m.pose_guider_params = saved
+    np.testing.assert_allclose(with_pg.latents, without.latents, atol=1e-6)
+
+
+def test_pose_guider_changes_output_when_nonzero(pg_pipeline):
+    video = (np.random.RandomState(0).rand(4, 32, 32, 3) * 255).astype(np.uint8)
+    kw = dict(video_is_middle=True, time_size=4, context_frames=4,
+              context_overlap=1, video_num_inference_steps=2,
+              num_inference_steps=2, height=32, width=32, seed=1)
+    base = pg_pipeline.video2video("x", video, **kw)
+    co = pg_pipeline.m.pose_guider_params["conv_out"]
+    saved = co["kernel"]
+    co["kernel"] = jax.random.normal(jax.random.PRNGKey(7), saved.shape) * 0.05
+    try:
+        perturbed = pg_pipeline.video2video("x", video, **kw)
+    finally:
+        co["kernel"] = saved
+    assert np.abs(perturbed.latents - base.latents).max() > 1e-6
+    # and the control image content matters (not just a constant shift)
+    co["kernel"] = jax.random.normal(jax.random.PRNGKey(7), saved.shape) * 0.05
+    try:
+        other = pg_pipeline.video2video("x", np.zeros_like(video), **kw)
+    finally:
+        co["kernel"] = saved
+    assert np.abs(perturbed.latents - other.latents).max() > 1e-6
+
+
+def test_convert_pose_guider_weights():
+    """Torch InflatedConv3d checkpoint (O, I, 1, kH, kW) loads exactly."""
+    from musev_tpu.models.sd_weights import convert_pose_guider
+
+    params = init_pose_guider(jax.random.PRNGKey(0), CN_CFG)
+    rng = np.random.RandomState(0)
+    sd = {}
+
+    def fake(name, o, i, k=3):
+        sd[f"{name}.weight"] = rng.randn(o, i, 1, k, k).astype(np.float32)
+        sd[f"{name}.bias"] = rng.randn(o).astype(np.float32)
+
+    ce = CN_CFG.cond_embed_channels
+    fake("conv_in", ce[0], 3)
+    for j in range(len(ce) - 1):
+        fake(f"blocks.{2 * j}", ce[j], ce[j])
+        fake(f"blocks.{2 * j + 1}", ce[j + 1], ce[j])
+    fake("conv_out", CN_CFG.block_out_channels[0], ce[-1])
+    n, leftover = convert_pose_guider(params, CN_CFG, sd)
+    assert n == 2 * (2 + 2 * (len(ce) - 1))
+    assert leftover == []
+    np.testing.assert_array_equal(
+        np.asarray(params["conv_in"]["kernel"]),
+        sd["conv_in.weight"][:, :, 0].transpose(2, 3, 1, 0),
+    )
