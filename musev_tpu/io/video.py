@@ -135,9 +135,15 @@ class VideoReader:
 
 
 class PrefetchingWindows:
-    """Wrap a window iterator with a 2-deep background prefetch queue."""
+    """Wrap a window iterator with a 2-deep background prefetch queue.
 
-    def __init__(self, it: Iterator[np.ndarray], depth: int = 2):
+    ``map_fn`` (optional) is applied to each item INSIDE the worker thread —
+    host-side stages like controlnet processors (dwpose, canny) run there and
+    overlap the consumer's device compute: window i+1's maps are computed
+    while window i denoises (the reference's DecordVideoDataset prefetch
+    contract, predictor.py:867-932; SURVEY §2.10 N3)."""
+
+    def __init__(self, it: Iterator[np.ndarray], depth: int = 2, map_fn=None):
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
         self._err: Optional[BaseException] = None
@@ -145,7 +151,7 @@ class PrefetchingWindows:
         def worker():
             try:
                 for item in it:
-                    self._q.put(item)
+                    self._q.put(item if map_fn is None else map_fn(item))
             except BaseException as e:  # pragma: no cover
                 self._err = e
             finally:

@@ -605,17 +605,27 @@ class MusevPipeline:
         mid_lat_np = mid_noise_np = None
         all_latents: List[jnp.ndarray] = []
         step_latents_all: List[jnp.ndarray] = []
-        for i_window, window in enumerate(windows_iter):
+        def _prep(window):
             window = np.asarray(window)
             if window.ndim == 4:  # (T, H, W, 3) shared across the batch
                 window = np.broadcast_to(window[None], (b, *window.shape))
+            return window, to_control(window)
+
+        # run the host processor stage in a background thread: window i+1's
+        # control maps (dwpose etc.) compute while window i denoises on
+        # device (N3 host/device overlap contract, SURVEY §2.10; the
+        # reference runs its processor serially between dispatches,
+        # predictor.py:947-1029)
+        from ..io.video import PrefetchingWindows
+
+        prepared_iter = PrefetchingWindows(windows_iter, map_fn=_prep)
+        for i_window, (window, control) in enumerate(prepared_iter):
             t_w = window.shape[1]
             if t_w == 0:
                 continue
             # trailing partial window: its own (smaller-T) static spec —
             # dropping it would silently lose up to time_size-1 frames
             spec_w = spec if t_w == time_size else build_spec(t_w)
-            control = to_control(window)
             if i_window == 0:
                 if n_vc > 0:
                     if condition_images is not None:

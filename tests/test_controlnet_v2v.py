@@ -239,3 +239,37 @@ def test_convert_pose_guider_weights():
         np.asarray(params["conv_in"]["kernel"]),
         sd["conv_in.weight"][:, :, 0].transpose(2, 3, 1, 0),
     )
+
+
+def test_v2v_processor_runs_prefetched_and_deterministic(cn_pipeline):
+    """The controlnet processor now runs inside the prefetch worker; the
+    maps it produces must be exactly the windows' frames (order preserved)
+    and the pipeline result must be deterministic across runs."""
+    import threading
+
+    video = (np.random.RandomState(5).rand(8, 32, 32, 3) * 255).astype(np.uint8)
+    calls = []
+
+    def proc(frames):
+        calls.append(
+            (threading.current_thread() is threading.main_thread(),
+             np.asarray(frames).copy())
+        )
+        return 255 - np.asarray(frames)
+
+    kw = dict(time_size=4, context_frames=4, context_overlap=1,
+              video_num_inference_steps=2, num_inference_steps=2,
+              height=32, width=32, seed=2, controlnet_processor=proc)
+    a = cn_pipeline.video2video("x", video, **kw)
+    # processor saw both windows' frames, in order, off the main thread
+    assert len(calls) == 2
+    assert not any(on_main for on_main, _ in calls)
+    np.testing.assert_array_equal(calls[0][1], video[:4])
+    np.testing.assert_array_equal(calls[1][1], video[4:])
+    b = cn_pipeline.video2video("x", video, **kw)
+    np.testing.assert_array_equal(a.latents, b.latents)
+    # and the maps actually conditioned the run (differ from identity maps)
+    c = cn_pipeline.video2video(
+        "x", video, **{**kw, "controlnet_processor": lambda f: np.asarray(f)}
+    )
+    assert np.abs(a.latents - c.latents).max() > 1e-6

@@ -68,3 +68,27 @@ def test_prefetching_windows(ramp_mp4):
 def test_missing_file():
     with pytest.raises(IOError):
         VideoReader("/tmp/definitely_not_here.mp4")
+
+
+def test_prefetching_windows_map_fn_runs_in_worker():
+    """map_fn output matches the serial path and executes off the consumer
+    thread (the host-processor overlap contract, SURVEY §2.10 N3)."""
+    import threading
+
+    import numpy as np
+
+    from musev_tpu.io.video import PrefetchingWindows
+
+    wins = [np.full((2, 4, 4, 3), i, np.uint8) for i in range(5)]
+    seen_threads = []
+
+    def proc(w):
+        seen_threads.append(threading.current_thread())
+        return w, (255 - w)
+
+    out = list(PrefetchingWindows(iter(wins), map_fn=proc))
+    assert len(out) == 5
+    for i, (w, m) in enumerate(out):
+        np.testing.assert_array_equal(w, wins[i])
+        np.testing.assert_array_equal(m, 255 - wins[i])
+    assert all(t is not threading.main_thread() for t in seen_threads)
