@@ -39,6 +39,11 @@ def parse_args(argv=None):
                         "--dwpose_det_onnx/--dwpose_pose_onnx)|<registered> "
                         "(reference controlnet_aux zoo; register custom via "
                         "musev_tpu.io.processors)")
+    p.add_argument("--processor_onnx", action="append", default=None,
+                   help="register an ONNX map processor: name=path (e.g. "
+                        "depth=/models/midas.onnx hed=/models/hed.onnx); "
+                        "kind inferred from the name "
+                        "(mmcm controlnet.py:513 families)")
     p.add_argument("--dwpose_det_onnx", type=str,
                    default=os.environ.get("MUSEV_DWPOSE_DET"),
                    help="yolox person-detector onnx for the dwpose stage")
@@ -103,16 +108,23 @@ def main(argv=None):
     models = build_models(preset, dtype=dtype)
     pipe = MusevPipeline(models, scheduler_name=scheduler, dtype=dtype)
 
-    if args.controlnet_name.startswith("dwpose"):
+    for spec in args.processor_onnx or []:
+        if "=" not in spec:
+            raise SystemExit(f"--processor_onnx expects name=path, got {spec!r}")
+        pname, ppath = spec.split("=", 1)
+        from ..io.processors import register_onnx_processor
+
+        register_onnx_processor(pname, ppath)
+    if args.controlnet_name.startswith(("dwpose", "pose")):
         if args.dwpose_det_onnx and args.dwpose_pose_onnx:
             from ..io.dwpose import register_dwpose
 
             register_dwpose(args.dwpose_det_onnx, args.dwpose_pose_onnx)
         else:
             raise SystemExit(
-                "--controlnet_name dwpose* needs --dwpose_det_onnx (yolox) "
-                "and --dwpose_pose_onnx (rtmpose wholebody) onnx files, or "
-                "MUSEV_DWPOSE_DET/MUSEV_DWPOSE_POSE env vars"
+                "--controlnet_name dwpose*/pose* needs --dwpose_det_onnx "
+                "(yolox) and --dwpose_pose_onnx (rtmpose wholebody) onnx "
+                "files, or MUSEV_DWPOSE_DET/MUSEV_DWPOSE_POSE env vars"
             )
 
     tasks = load_tasks(args.test_data_path)

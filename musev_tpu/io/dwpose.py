@@ -429,6 +429,17 @@ _DWPOSE_VARIANTS = {
     "dwpose_face": dict(include_body=False, include_hand=False, include_face=True),
     "dwpose_hand": dict(include_body=False, include_hand=True, include_face=False),
     "dwpose_body_face": dict(include_body=True, include_hand=False, include_face=True),
+    # the reference's openpose family ('pose*', mmcm controlnet.py:513 /
+    # README.md:403-406) renders the same OpenPose-style skeleton from the
+    # same keypoint sets; here they are render-subset variants of the dwpose
+    # keypoints (the reference's fork also routes pose names to dwpose-
+    # compatible renderers)
+    "pose": dict(include_body=True, include_hand=False, include_face=False),
+    "pose_body": dict(include_body=True, include_hand=False, include_face=False),
+    "pose_hand": dict(include_body=False, include_hand=True, include_face=False),
+    "pose_face": dict(include_body=False, include_hand=False, include_face=True),
+    "pose_hand_body": dict(include_body=True, include_hand=True, include_face=False),
+    "pose_hand_face": dict(include_body=False, include_hand=True, include_face=True),
 }
 
 

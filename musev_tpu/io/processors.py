@@ -99,3 +99,168 @@ def canny_video(frames: np.ndarray, low: float = 0.1, high: float = 0.2):
 
 register_processor("none", _identity)
 register_processor("canny", canny_video)
+
+
+def _gaussian_blur_rgb(img: np.ndarray, sigma: float) -> np.ndarray:
+    """(H, W, 3) float32 separable gaussian blur, edge-replicated borders
+    (zero padding would darken the frame edges)."""
+    radius = max(1, int(3 * sigma))
+    x = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-(x**2) / (2 * sigma**2))
+    k /= k.sum()
+    pad = np.pad(img, ((radius, radius), (radius, radius), (0, 0)), mode="edge")
+    out = np.empty_like(img)
+    for c in range(img.shape[-1]):
+        ch = np.apply_along_axis(
+            lambda r: np.convolve(r, k, mode="valid"), 1, pad[..., c]
+        )
+        out[..., c] = np.apply_along_axis(
+            lambda col: np.convolve(col, k, mode="valid"), 0, ch
+        )
+    return out
+
+
+def tile_video(frames: np.ndarray, down: int = 2) -> np.ndarray:
+    """'tile' controlnet conditioning: the image itself, low-passed (the
+    lllyasviel tile preprocessing = downscale blur; mmcm controlnet.py:513
+    name 'tile')."""
+    out = []
+    for f in frames:
+        blurred = _gaussian_blur_rgb(f.astype(np.float32), sigma=float(down))
+        out.append(np.clip(blurred, 0, 255).astype(np.uint8))
+    return np.stack(out)
+
+
+# ---------------------------------------------------------------------------
+# generic ONNX-backed single-image processors (depth / hed / lineart ...)
+# run on the first-party executor (musev_tpu.onnx) — the reference drives
+# these via onnxruntime/controlnet_aux binaries (SURVEY §2.9 N5)
+
+_ONNX_KIND_DEFAULTS = {
+    # midas/dpt-style relative depth: (x/255 - 0.5)/0.5 input, single-channel
+    # output min-max normalized per frame (controlnet_aux MidasDetector)
+    "depth": dict(mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
+                  post="minmax", input_size=384),
+    # HED edge net: raw 0-255 float input, sigmoid edge prob output
+    # (controlnet_aux ControlNetHED contract)
+    "hed": dict(mean=None, std=None, post="unit", input_size=None),
+    # scribble = binarized hed
+    "scribble": dict(mean=None, std=None, post="binary", input_size=None),
+    # lineart generators: x/255 input, line-intensity output rendered as
+    # white-on-black (controlnet_aux LineartDetector)
+    "lineart": dict(mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0),
+                    post="invert", input_size=None),
+}
+
+
+class OnnxImageProcessor:
+    """frames (T, H, W, 3) uint8 -> (T, H, W, 3) uint8 maps via an ONNX
+    image-to-map model executed by the first-party runtime.
+
+    The model is fed NCHW float32. ``kind`` picks the reference
+    pre/postprocessing convention (see _ONNX_KIND_DEFAULTS); every knob can
+    be overridden. ``input_size``: long-side resize before inference (None =
+    native resolution, rounded down to ``multiple_of``); the map is resized
+    back to the source frame size.
+    """
+
+    def __init__(self, model, kind: str = "depth", *, input_size=...,
+                 multiple_of: int = 32, mean=..., std=..., post=...,
+                 threshold: float = 0.5):
+        if kind not in _ONNX_KIND_DEFAULTS:
+            raise ValueError(
+                f"unknown onnx processor kind {kind!r}; choose from "
+                f"{sorted(_ONNX_KIND_DEFAULTS)}"
+            )
+        d = _ONNX_KIND_DEFAULTS[kind]
+        self.model = model
+        self.kind = kind
+        self.input_size = d["input_size"] if input_size is ... else input_size
+        self.multiple_of = multiple_of
+        self.mean = d["mean"] if mean is ... else mean
+        self.std = d["std"] if std is ... else std
+        self.post = d["post"] if post is ... else post
+        self.threshold = threshold
+
+    def _pre(self, frame: np.ndarray) -> np.ndarray:
+        from PIL import Image
+
+        h, w = frame.shape[:2]
+        if self.input_size:
+            s = self.input_size / max(h, w)
+            nh, nw = max(1, round(h * s)), max(1, round(w * s))
+        else:
+            nh, nw = h, w
+        m = self.multiple_of
+        nh, nw = max(m, nh - nh % m), max(m, nw - nw % m)
+        if (nh, nw) != (h, w):
+            frame = np.asarray(
+                Image.fromarray(frame.astype(np.uint8)).resize((nw, nh))
+            )
+        x = frame.astype(np.float32)
+        if self.mean is not None:
+            x = x / 255.0
+            x = (x - np.asarray(self.mean, np.float32)) / np.asarray(
+                self.std, np.float32
+            )
+        return x.transpose(2, 0, 1)[None]  # NCHW
+
+    def _post(self, y: np.ndarray, h: int, w: int) -> np.ndarray:
+        from PIL import Image
+
+        y = np.asarray(y, np.float32)
+        while y.ndim > 2:  # (1, [1,] H', W') -> (H', W')
+            y = y[0] if y.shape[0] == 1 else y.mean(axis=0)
+        if self.post == "minmax":
+            lo, hi = float(y.min()), float(y.max())
+            y = (y - lo) / (hi - lo) if hi > lo else np.zeros_like(y)
+        elif self.post == "unit":
+            y = np.clip(y, 0.0, 1.0)
+        elif self.post == "binary":
+            y = (np.clip(y, 0.0, 1.0) > self.threshold).astype(np.float32)
+        elif self.post == "invert":
+            y = 1.0 - np.clip(y, 0.0, 1.0)
+        else:
+            raise ValueError(f"unknown post {self.post!r}")
+        g = (y * 255.0).astype(np.uint8)
+        if g.shape != (h, w):
+            g = np.asarray(Image.fromarray(g).resize((w, h)))
+        return np.stack([g] * 3, axis=-1)
+
+    def __call__(self, frames: np.ndarray) -> np.ndarray:
+        out = []
+        for f in frames:
+            h, w = f.shape[:2]
+            (y,) = self.model.run({self.model.input_names[0]: self._pre(f)})
+            out.append(self._post(y, h, w))
+        return np.stack(out)
+
+
+_NAME_TO_KIND = {
+    "depth": "depth", "zoe": "depth", "leres": "depth",
+    "hed": "hed", "softedge": "hed", "pidi": "hed",
+    "hed_scribble": "scribble", "scribble": "scribble",
+    "lineart": "lineart", "lineart_anime": "lineart",
+}
+
+
+def register_onnx_processor(name: str, onnx_path: str, kind: str = None,
+                            **kwargs) -> None:
+    """Register an ONNX-backed map processor under ``name``.
+
+    ``kind`` defaults from the name (depth/hed/lineart families,
+    mmcm controlnet.py:513 name list)."""
+    from ..onnx.runtime import OnnxModel
+
+    if kind is None:
+        kind = _NAME_TO_KIND.get(name)
+        if kind is None:
+            raise ValueError(
+                f"cannot infer processor kind from name {name!r}; pass "
+                f"kind= one of {sorted(_ONNX_KIND_DEFAULTS)}"
+            )
+    model = OnnxModel.from_file(onnx_path)
+    register_processor(name, OnnxImageProcessor(model, kind, **kwargs))
+
+
+register_processor("tile", tile_video)
