@@ -11,9 +11,12 @@ Reports, in ONE JSON line:
   * measured per-shard workload: ONE 12-frame window x ONE CFG half x 10
     steps — exactly what each of 8 chips owns under the overlap-8 dp plan
     (and each of 6 chips under the overlap-4 plan), so the v5e-8 projection
-    is arithmetic: per_shard + decode/n + collective epsilon. The only
-    cross-chip collective is the overlap scatter-add psum (~1 MB/step over
-    ICI, reference pipeline_controlnet.py:2076-2079) — budgeted at 10%.
+    is arithmetic: per_shard + derived ICI time + decode/n. The ICI term is
+    computed from the actual per-step payloads (overlap scatter-add psum of
+    the noise buffer + latents all-gather, reference
+    pipeline_controlnet.py:2076-2079) at ring-collective cost over v5e ICI
+    bandwidth, plus launch latency — printed as ici_seconds_derived /
+    ici_bytes_per_step in the JSON.
   * ``vs_baseline`` = north-star ratio (3 s per 1 s of video on v5e-8,
     BASELINE.md) against the projected 8-chip e2e; >= 1.0 means target met.
 """
@@ -249,10 +252,32 @@ def main():
         # concurrently under the overlap-8 plan (4 windows x 2 CFG = 8
         # shards, all chips busy; the measured shard workload is identical
         # for the overlap-4 plan). Decode is frame-parallel across all 8
-        # chips. The overlap scatter-add psum + CFG combine is ~1 MB/step
-        # over ICI; 10% headroom covers it plus step-boundary sync.
-        proj = 1.10 * shard_denoise_s + decode_s / 8.0
+        # chips. The ICI term is DERIVED, not assumed: per step the dp plan
+        # needs (a) the overlap scatter-add + CFG combine as one psum over
+        # the (reps, b, T, h, w, c) noise buffer (the single mandatory
+        # collective, reference pipeline_controlnet.py:2076-2079) and (b)
+        # an all-gather of the stepped (b, T, h, w, c) latents so every
+        # chip can gather its next window rows. Ring collectives move
+        # 2(n-1)/n (all-reduce) and (n-1)/n (all-gather) of the payload per
+        # chip over ICI. v5e ICI: 1600 Gbit/s/chip aggregate; use 50%
+        # achievable (100 GB/s) + 25 us launch latency per collective.
+        n_chips = 8
+        itemsize = 2  # bf16
+        lat_bytes = int(np.prod(lat.shape)) * itemsize
+        noise_buf_bytes = 2 * lat_bytes  # reps=2 CFG halves
+        ici_bw = 100e9
+        coll_lat = 25e-6
+        per_step_ici = (
+            noise_buf_bytes * 2 * (n_chips - 1) / n_chips / ici_bw  # psum
+            + lat_bytes * (n_chips - 1) / n_chips / ici_bw  # all-gather
+            + 2 * coll_lat
+        )
+        ici_s = args.steps * per_step_ici
+        # 2% residual for step-boundary jitter the arithmetic cannot see
+        proj = 1.02 * shard_denoise_s + ici_s + decode_s / 8.0
         result["per_shard_denoise_seconds"] = round(shard_denoise_s, 3)
+        result["ici_seconds_derived"] = round(ici_s, 6)
+        result["ici_bytes_per_step"] = noise_buf_bytes * 2 + lat_bytes
         result["projected_v5e8_e2e_seconds"] = round(proj, 3)
         result["vs_baseline"] = round(3.0 / proj, 3)
     else:
