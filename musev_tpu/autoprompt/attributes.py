@@ -109,13 +109,21 @@ RENDER_MAP = {
 
 
 @register_attr("render")
-def render(value: str) -> str:
-    """Named render-quality presets (render.py RenderMap)."""
+def render(value: str):
+    """Named render-quality presets (render.py RenderMap).
+
+    Multiple presets return a LIST: the reference's MultiAttr2Text fans a
+    multi-text attribute into one prompt per text by outer product
+    (attributes.py:100-116); render_template implements the same."""
     if not value:
         return ""
     parts = [RENDER_MAP[v.strip()] for v in str(value).split(",")
              if v.strip() in RENDER_MAP]
-    return ",".join(parts)
+    if not parts:
+        return ""
+    if len(parts) == 1:
+        return parts[0]
+    return parts
 
 
 def _random_choice_attr(name: str, choices: Sequence[str]) -> AttrFn:
@@ -246,16 +254,31 @@ def render_template(template: str, task: Dict) -> List[str]:
             vals = {
                 k: get_attr(k)(str(variant.get(k, "") or "")) for k in keys
             }
-            out.append(merge_near_same_char(template.format(**vals)))
+            for combo in _expand_multi_text(vals):
+                out.append(merge_near_same_char(template.format(**combo)))
         return out
     # bare {}: preset portrait ordering
     out = []
     for variant in expand_alternatives(task, PORTRAIT_ATTRS):
-        parts = [
-            get_attr(k)(str(variant[k]))
+        vals = {
+            k: get_attr(k)(str(variant[k]))
             for k in PORTRAIT_ATTRS
             if variant.get(k) not in (None, "")
-        ]
-        body = ", ".join(p for p in parts if p)
-        out.append(merge_near_same_char(template.format(body)))
+        }
+        for combo in _expand_multi_text(vals):
+            body = ", ".join(
+                combo[k] for k in PORTRAIT_ATTRS if combo.get(k)
+            )
+            out.append(merge_near_same_char(template.format(body)))
     return out
+
+
+def _expand_multi_text(vals: Dict) -> List[Dict]:
+    """Outer-product expansion when an attribute rendered a LIST of texts
+    (reference MultiAttr2Text.__call__, attributes.py:100-116 — e.g. render
+    'Epic,HD' yields one prompt per render preset)."""
+    combos: List[Dict] = [{}]
+    for k, v in vals.items():
+        opts = v if isinstance(v, list) else [v]
+        combos = [{**c, k: o} for c in combos for o in opts]
+    return combos

@@ -58,6 +58,12 @@ def generate_prompts(tasks: List[Dict]) -> List[Dict]:
         if prompt and "{" not in prompt:
             out.append(task)
             continue
+        if not prompt:
+            # empty prompt -> empty prompt (OnlySpacePromptTemplate,
+            # load_template.py:25-26)
+            task["prompt"] = ""
+            out.append(task)
+            continue
         template = get_template(task.get("template_name"))
         for p in template(task):
             t = copy.deepcopy(task)

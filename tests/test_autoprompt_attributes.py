@@ -90,3 +90,73 @@ def test_generate_prompts_key_brace_prompt():
     assert "pink hair" in out[0]["prompt"]
     assert "8k" in out[0]["prompt"]
     assert out[0]["origin_prompt"].startswith("portrait:")
+
+
+# -- round-3 table tests: outputs hand-derived from the reference classes
+# (auto_prompt/util.py generate_prompts + attr2template.py semantics) -------
+
+
+def test_generate_prompts_empty_prompt_is_only_space_template():
+    # load_template.py:25-26: empty prompt -> OnlySpacePromptTemplate -> ""
+    from musev_tpu.autoprompt import generate_prompts
+
+    out = generate_prompts([{"name": "t", "prompt": ""}])
+    assert len(out) == 1 and out[0]["prompt"] == ""
+    assert out[0]["origin_prompt"] == ""
+
+
+def test_generate_prompts_table_portrait():
+    """Portrait bare-{} template against the reference pipeline by hand:
+    PresetPortraitAttributes order, ', ' joins, merge_near_same_char."""
+    from musev_tpu.autoprompt import generate_prompts
+
+    task = {
+        "prompt": "a portrait of {}",
+        "age": "25",
+        "sex": "female",
+        "hair": "black",
+        "clothes": "red dress",
+        "render": "HD",
+    }
+    out = generate_prompts([task])
+    assert len(out) == 1
+    assert out[0]["prompt"] == (
+        "a portrait of 25-year-old, female, black hair, red dress, "
+        "8k, highly detailed"
+    )
+
+
+def test_generate_prompts_render_multi_fans_out():
+    """render 'Epic,HD' returns two texts; MultiAttr2Text outer-products
+    them into two prompts (reference attributes.py:100-116)."""
+    from musev_tpu.autoprompt import generate_prompts
+
+    out = generate_prompts([
+        {"prompt": "a portrait of {}", "sex": "male", "render": "Epic,HD"}
+    ])
+    assert [t["prompt"] for t in out] == [
+        "a portrait of male, artstation, epic environment, highly detailed, "
+        "8k, HD",
+        "a portrait of male, 8k, highly detailed",
+    ]
+
+
+def test_generate_prompts_keyword_template_table():
+    from musev_tpu.autoprompt import generate_prompts
+
+    out = generate_prompts([
+        {"prompt": "{age} {country} man, {render}", "age": "30",
+         "country": "japanese", "render": "Digital"}
+    ])
+    assert out[0]["prompt"] == (
+        "30-year-old japanese man, detailed illustration, crisp lines, "
+        "digital art, 8k, trending on artstation"
+    )
+
+
+def test_generate_prompts_passthrough_records_origin():
+    from musev_tpu.autoprompt import generate_prompts
+
+    out = generate_prompts([{"prompt": "a cat"}])
+    assert out[0]["prompt"] == "a cat"
+    assert out[0]["origin_prompt"] == "a cat"
