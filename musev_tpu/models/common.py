@@ -16,6 +16,7 @@ from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 Params = dict
@@ -144,13 +145,20 @@ def group_norm(
     c = x.shape[-1]
     n = x.shape[0]
     cg = c // num_groups
-    xf = x.reshape(n, -1, c).astype(jnp.float32)
-    count = xf.shape[1] * cg
+    # NO reshape: a (N, H, W, C) conv output often carries a conv layout;
+    # reshaping to (N, HW, C) forced a materialized relayout copy (seen at
+    # 1.2 GB/step in the r2 HLO). Reduce over the middle axes in place.
+    mid_axes = tuple(range(1, x.ndim - 1))
+    count = int(np.prod([x.shape[a] for a in mid_axes])) * cg
     onehot = (
         (jnp.arange(c)[:, None] // cg) == jnp.arange(num_groups)[None, :]
     ).astype(jnp.float32)
-    s1 = jnp.sum(xf, axis=1)  # (N, C)
-    s2 = jnp.sum(xf * xf, axis=1)
+    # dtype-accumulated reduces: the bf16->f32 convert fuses into the
+    # reduction instead of materializing an fp32 copy of the activation
+    s1 = jnp.sum(x, axis=mid_axes, dtype=jnp.float32)  # (N, C)
+    s2 = jnp.sum(
+        jnp.square(x.astype(jnp.float32)), axis=mid_axes
+    )
     sum_g = s1 @ onehot  # (N, G)
     sq_g = s2 @ onehot
     mean_g = sum_g / count
@@ -160,18 +168,30 @@ def group_norm(
     inv_c = inv_g @ onehot.T
     scale = inv_c * p["scale"].astype(jnp.float32)[None, :]
     shift = p["bias"].astype(jnp.float32)[None, :] - mean_c * scale
-    y = xf * scale[:, None, :] + shift[:, None, :]
-    return y.reshape(x.shape).astype(orig_dtype)
+    bshape = (n,) + (1,) * len(mid_axes) + (c,)
+    y = (
+        x.astype(jnp.float32) * scale.reshape(bshape)
+        + shift.reshape(bshape)
+    )
+    return y.astype(orig_dtype)
 
 
 def layer_norm(
     p: Optional[Params], x: jnp.ndarray, eps: float = 1e-5
 ) -> jnp.ndarray:
     orig_dtype = x.dtype
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True)
-    y = (x32 - mean) * lax.rsqrt(var + eps)
+    c = x.shape[-1]
+    # dtype-accumulated reduces keep stats exact in f32 WITHOUT naming a
+    # shared fp32 copy of x: the r2 HLO materialized 4.6 GB/step of
+    # f32 activations from the old `x32 = x.astype(f32)` multi-consumer
+    # pattern (common.py:171 copies)
+    mean = jnp.sum(x, axis=-1, keepdims=True, dtype=jnp.float32) / c
+    sq = jnp.sum(
+        jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True
+    ) / c
+    var = jnp.maximum(sq - mean * mean, 0.0)
+    inv = lax.rsqrt(var + eps)
+    y = (x.astype(jnp.float32) - mean) * inv
     if p is not None:
         y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
     return y.astype(orig_dtype)

@@ -24,6 +24,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.adain import adain_to_condition_frames
 from ..ops.attention import sdpa, training_active
@@ -172,6 +173,7 @@ def attention(
     ip_face_context: Optional[jnp.ndarray] = None,
     ip_face_scale: float = 1.0,
     bias: Optional[jnp.ndarray] = None,
+    kv_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """Multi-head attention (N, S, C) with optional IP-Adapter dual-KV branch.
 
@@ -180,6 +182,9 @@ def attention(
     tokens, scaled and added to the text-attention output.
     ``bias``: additive attention bias broadcastable to (N, H, Sq, Sk) —
     used for the sparse-causal temporal mask.
+    ``kv_len``: valid leading self-attention positions when S is padded to a
+    sublane multiple (the temporal path pads T so XLA keeps bitcast
+    reshapes); padded keys are masked out, padded-query outputs are garbage.
     """
     from ..parallel.context import mesh_active
 
@@ -227,10 +232,17 @@ def attention(
         # than the head-split XLA path (no (N,H,T,D) transpose copies)
         from musev_tpu.ops.pallas.short_attention import short_attention_packed
 
-        return linear(p["to_out"], short_attention_packed(qp, kp, vp, heads))
+        return linear(
+            p["to_out"], short_attention_packed(qp, kp, vp, heads, kv_len=kv_len)
+        )
     q = _heads_split(qp, heads)
     k = _heads_split(kp, heads)
     v = _heads_split(vp, heads)
+    if kv_len is not None and kv_len < k.shape[1]:
+        pad_bias = jnp.where(
+            jnp.arange(k.shape[1]) < kv_len, 0.0, -jnp.inf
+        ).astype(jnp.float32)[None, None, None, :]
+        bias = pad_bias if bias is None else bias + pad_bias
     out = sdpa(q, k, v, bias=bias)
     if ip_context is not None and "to_k_ip" in p and ip_scale > 0:
         ip_k = _heads_split(linear(p["to_k_ip"], ip_context), heads)
@@ -547,15 +559,26 @@ def temporal_transformer(
     y = group_norm(p["norm"], v, num_groups=groups, eps=1e-6)
     # (b, T, H, W, C) -> (b, H*W, T, C)
     y = y.transpose(0, 2, 3, 1, 4).reshape(b, h * w, num_frames, c)
-    y = linear(p["proj_in"], y)
+    # pad T to a sublane multiple: with T=25 rows every feeding matmul's
+    # (N*T, C) <-> (N, T, C) reshape re-tiles (2nd-minor dim not
+    # 8-divisible), costing ~1 GB/step of XLA copies at L0; with T=32 the
+    # reshapes are bitcasts. Padded keys are masked in attention; padded
+    # rows are sliced away before the residual.
+    t_pad = (-num_frames) % 8
+    tp = num_frames + t_pad
+    if t_pad:
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, t_pad), (0, 0)))
     f = silu(femb) if femb_nonlinear else femb
     f = linear(p["femb_proj"], f)  # (b, T, inner)
+    if t_pad:
+        f = jnp.pad(f, ((0, 0), (0, t_pad), (0, 0)))
+    y = linear(p["proj_in"], y)
     y = y + f[:, None, :, :].astype(y.dtype)
     if spatial_position_emb is not None and "spatial_emb_proj" in p:
         # (H*W, femb_dim) sincos grid projected and added per pixel row
         sp = linear(p["spatial_emb_proj"], spatial_position_emb.astype(y.dtype))
         y = y + sp[None, :, None, :]
-    rows = y.reshape(b * h * w, num_frames, -1)
+    rows = y.reshape(b * h * w, tp, -1)
     attn_bias = None
     if self_attn_mask is not None:
         from ..ops.attention_mask import sparse_causal_mask
@@ -564,19 +587,30 @@ def temporal_transformer(
             num_frames, n_near=mask_n_near,
             attend_first=(self_attn_mask == "sparse_causal"),
         )
+        mask = np.asarray(mask)
+        if t_pad:
+            # padded kv columns -inf; padded q rows attend everything valid
+            # (their outputs are discarded)
+            full = np.full((tp, tp), -np.inf, mask.dtype)
+            full[:num_frames, :num_frames] = mask
+            full[num_frames:, :num_frames] = 0.0
+            mask = full
         attn_bias = jnp.asarray(mask)[None, None]  # (1, 1, T, T)
+    kvl = num_frames if (t_pad and attn_bias is None) else None
     blk = p["block"]
     rows = rows + attention(
         blk["attn1"], layer_norm(blk["norm1"], rows), heads=heads,
-        bias=attn_bias,
+        bias=attn_bias, kv_len=kvl,
     )
     rows = rows + attention(
         blk["attn2"], layer_norm(blk["norm2"], rows), heads=heads,
-        bias=attn_bias,
+        bias=attn_bias, kv_len=kvl,
     )
     rows = rows + geglu_ff(blk["ff"], layer_norm(blk["norm3"], rows))
-    y = rows.reshape(b, h * w, num_frames, -1)
+    y = rows.reshape(b, h * w, tp, -1)
     y = linear(p["proj_out"], y)
+    if t_pad:
+        y = y[:, :, :num_frames]
     y = y.reshape(b, h, w, num_frames, c).transpose(0, 3, 1, 2, 4)
     wgt = jnp.abs(p["temporal_weight"]).astype(y.dtype)[0]
     if cond_mask is not None:

@@ -36,10 +36,16 @@ from jax.experimental import pallas as pl
 MAX_SHORT_SEQ = 64
 
 
-def _kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, n_heads: int, scale: float):
+def _kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, n_heads: int, scale: float,
+            kv_ref=None):
     q = q_ref[...]
     k = k_ref[...]
     v = v_ref[...]
+    # rows may be T-padded to a sublane multiple (avoids XLA re-tiling
+    # copies on every feeding matmul); kv_ref is a (t, t) additive mask
+    # with -inf on padded KV columns (host-built operand: in-kernel iota
+    # mask constructions SIGABRT the v5e libtpu in this kernel)
+    kv_mask = kv_ref[...] if kv_ref is not None else None
     acc = None
     for h in range(n_heads):
         m = m_ref[h][None, None, :].astype(q.dtype)  # (1, 1, C) 0/1 lanes
@@ -49,6 +55,8 @@ def _kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, n_heads: int, scale: float):
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
+        if kv_mask is not None:
+            logits = logits + kv_mask
         p = jax.nn.softmax(logits * scale, axis=-1)
         oh = jax.lax.dot_general(
             p.astype(v.dtype),
@@ -72,7 +80,7 @@ def _pick_block_n(n: int, t: int, c: int, budget_bytes: int = 500_000) -> int:
     return best
 
 
-@partial(jax.jit, static_argnames=("n_heads", "scale", "interpret"))
+@partial(jax.jit, static_argnames=("n_heads", "scale", "interpret", "kv_len"))
 def short_attention_packed(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -80,11 +88,16 @@ def short_attention_packed(
     n_heads: int,
     scale: Optional[float] = None,
     interpret: bool = False,
+    kv_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """Self-attention over packed (N, T, C) rows, T <= MAX_SHORT_SEQ.
 
     Exact equivalent of heads-split sdpa on (N, T, n_heads, C//n_heads),
     without ever materializing the head-transposed operands.
+
+    ``kv_len``: number of VALID leading positions when T is padded to a
+    sublane multiple (keys/queries beyond it are padding; padded-query
+    outputs are garbage for the caller to slice away).
     """
     n, t, c = q.shape
     if t > MAX_SHORT_SEQ:
@@ -94,6 +107,8 @@ def short_attention_packed(
     d = c // n_heads
     if scale is None:
         scale = float(d) ** -0.5
+    if kv_len is None:
+        kv_len = t
     mask = np.zeros((n_heads, c), np.float32)
     for h in range(n_heads):
         mask[h, h * d : (h + 1) * d] = 1.0
@@ -102,12 +117,24 @@ def short_attention_packed(
     bn = _pick_block_n(n, t, c)
     grid = (n // bn,)
     blk = pl.BlockSpec((bn, t, c), lambda i: (i, 0, 0))
+    ins = [q, k, v, mask]
+    in_specs = [blk, blk, blk, pl.BlockSpec((n_heads, c), lambda i: (0, 0))]
+    if kv_len < t:
+        kvm = np.zeros((t, t), np.float32)
+        kvm[:, kv_len:] = -np.inf
+        ins.append(jnp.asarray(kvm))
+        in_specs.append(pl.BlockSpec((t, t), lambda i: (0, 0)))
+        kernel = lambda qr, kr, vr, mr, kvr, orf: _kernel(  # noqa: E731
+            qr, kr, vr, mr, orf, n_heads=n_heads, scale=scale, kv_ref=kvr
+        )
+    else:
+        kernel = partial(_kernel, n_heads=n_heads, scale=scale)
     out = pl.pallas_call(
-        partial(_kernel, n_heads=n_heads, scale=scale),
+        kernel,
         grid=grid,
-        in_specs=[blk, blk, blk, pl.BlockSpec((n_heads, c), lambda i: (0, 0))],
+        in_specs=in_specs,
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct((n, t, c), q.dtype),
         interpret=interpret,
-    )(q, k, v, mask)
+    )(*ins)
     return out

@@ -52,3 +52,25 @@ def test_block_picker_divides():
     for n in (10368, 2592, 648, 162, 7, 1):
         bn = _pick_block_n(n, 25, 320)
         assert n % bn == 0 and bn >= 1
+
+
+def test_kv_len_masks_padded_tail():
+    """T-padded rows with kv_len must equal the unpadded result on the
+    valid prefix (the sublane-alignment path in temporal_transformer)."""
+    n, t, c, heads = 16, 25, 64, 4
+    tp = 32
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(kq, (n, t, c), jnp.float32)
+    k = jax.random.normal(kk, (n, t, c), jnp.float32)
+    v = jax.random.normal(kv, (n, t, c), jnp.float32)
+    ref = short_attention_packed(q, k, v, heads, interpret=True)
+    pad = lambda x: jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))  # noqa: E731
+    # padded k/v tails are NONZERO garbage to prove masking works
+    junk = jnp.ones((n, tp - t, c), jnp.float32) * 7.0
+    kp = jnp.concatenate([k, junk], axis=1)
+    vp = jnp.concatenate([v, junk], axis=1)
+    out = short_attention_packed(pad(q), kp, vp, heads, interpret=True,
+                                 kv_len=t)
+    np.testing.assert_allclose(
+        np.asarray(out[:, :t]), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
