@@ -142,8 +142,17 @@ def group_norm(
     traffic on ~7%% of step time while breaking XLA fusion with neighbors.
     """
     orig_dtype = x.dtype
+    # Force a materialization boundary: without it XLA CLONES the producing
+    # 3x3 convolution into the stats fusion (conv computed twice — the
+    # entire ~0.9 s/10-step "conv+GN-stat" bucket in the v5e profile was
+    # duplicated convs) and demotes the f32 stat accumulation to bf16.
+    x = lax.optimization_barrier(x)
     c = x.shape[-1]
     n = x.shape[0]
+    if c % num_groups:
+        raise ValueError(
+            f"group_norm: channels {c} not divisible by groups {num_groups}"
+        )
     cg = c // num_groups
     # NO reshape: a (N, H, W, C) conv output often carries a conv layout;
     # reshaping to (N, HW, C) forced a materialized relayout copy (seen at
@@ -180,6 +189,9 @@ def layer_norm(
     p: Optional[Params], x: jnp.ndarray, eps: float = 1e-5
 ) -> jnp.ndarray:
     orig_dtype = x.dtype
+    # materialization boundary — same producer-cloning pathology as
+    # group_norm (259 stats fusions in the r3 HLO re-ran a conv/dot clone)
+    x = lax.optimization_barrier(x)
     c = x.shape[-1]
     # dtype-accumulated reduces keep stats exact in f32 WITHOUT naming a
     # shared fp32 copy of x: the r2 HLO materialized 4.6 GB/step of

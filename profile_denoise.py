@@ -24,7 +24,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main(trace_dir: str = "/tmp/musev_trace_prof", detail: int = 0,
-         windows: bool = False):
+         windows: bool = False, shard: bool = False):
     from musev_tpu.models.init_util import fast_init
     from musev_tpu.models.unet3d import init_unet3d, musev_config
     from musev_tpu.ops.context import make_window_plan
@@ -37,19 +37,26 @@ def main(trace_dir: str = "/tmp/musev_trace_prof", detail: int = 0,
     params = jax.device_put(fast_init(init_unet3d, cfg, dtype=dtype))
     _ = float(jax.tree_util.tree_leaves(params)[0].ravel()[0])
     t, hw = 24, 72
-    ctx = 12 if windows else t
+    if shard:
+        # EXACTLY bench.py's per-shard workload: one 12-frame window, one
+        # CFG half (the unit each v5e-8 chip owns under the overlap-8 dp
+        # plan) — this is the number the projection multiplies.
+        t, ctx, overlap = 12, 12, 0
+    else:
+        ctx = 12 if windows else t
+        overlap = 4
     spec = DenoiseSpec(
         unet_cfg=cfg,
         scheduler=EulerDiscreteScheduler.create(10),
-        plan=make_window_plan(t, ctx, context_overlap=4),
+        plan=make_window_plan(t, ctx, context_overlap=overlap),
         guidance=guidance_schedule(3.5, 10),
         n_vision_cond=1,
-        do_cfg=True,
+        do_cfg=not shard,
     )
     key = jax.random.PRNGKey(0)
     lat = jax.random.normal(key, (1, t, hw, hw, 4), dtype)
     cond = jax.random.normal(key, (1, 1, hw, hw, 4), dtype)
-    tu = jax.random.normal(key, (1, 77, 768), dtype)
+    tu = None if shard else jax.random.normal(key, (1, 77, 768), dtype)
     tc = jax.random.normal(key, (1, 77, 768), dtype)
     fn = jax.jit(denoise_loop, static_argnames=("spec",))
     out = fn(params, spec, lat, tu, tc, key, condition_latents=cond)
@@ -72,13 +79,18 @@ def main(trace_dir: str = "/tmp/musev_trace_prof", detail: int = 0,
     }
     dev = [p for p, n in pids.items() if "TPU" in n]
     durs = collections.defaultdict(float)
+    t0, t1 = float("inf"), 0.0
     for e in events:
         if e.get("ph") == "X" and "dur" in e and e.get("pid") in dev:
+            t0 = min(t0, e["ts"])
+            t1 = max(t1, e["ts"] + e["dur"])
             name = re.sub(r"\.\d+$", "", e["name"])
             if not name.startswith(("jit_", "while")):
                 durs[name] += e["dur"]
     total = sum(durs.values())
-    print(f"device op total {total/1e6:.2f}s (10 steps)")
+    print(f"device op total {total/1e6:.2f}s (10 steps); "
+          f"device span {(t1-t0)/1e6:.2f}s "
+          f"(span-op gap = device idle/bubbles)")
     for name, d in sorted(durs.items(), key=lambda kv: -kv[1])[:15]:
         print(f"{d/1e3:9.1f}ms {100*d/total:5.1f}%  {name[:80]}")
 
@@ -103,6 +115,8 @@ if __name__ == "__main__":
                     help="also print top-N individual HLO ops")
     ap.add_argument("--windows", action="store_true",
                     help="3x12-frame flagship window plan instead of 1x24")
+    ap.add_argument("--shard", action="store_true",
+                    help="bench.py per-shard workload: 1x12f window, no CFG")
     ap.add_argument("--trace-dir", type=str, default="/tmp/musev_trace_prof")
     a = ap.parse_args()
-    main(a.trace_dir, a.detail, a.windows)
+    main(a.trace_dir, a.detail, a.windows, a.shard)

@@ -52,7 +52,9 @@ def test_generate_prompts_passthrough():
 
 
 def test_generate_prompts_template():
-    tasks = [{"prompt": "", "gender": "girl", "hair": "black",
+    # templating is brace-triggered (attr2template.py semantics); an empty
+    # prompt maps to OnlySpacePromptTemplate -> "" (load_template.py:25-26)
+    tasks = [{"prompt": "a portrait of {}", "sex": "girl", "hair": "black",
               "clothes": "red dress"}]
     out = generate_prompts(tasks)
     assert len(out) == 1
@@ -61,7 +63,8 @@ def test_generate_prompts_template():
 
 
 def test_generate_prompts_fanout():
-    tasks = [{"prompt": "", "gender": "girl|boy", "hair": "black"}]
+    tasks = [{"prompt": "a portrait of {}", "sex": "girl|boy",
+              "hair": "black"}]
     out = generate_prompts(tasks)
     assert len(out) == 2
     assert {("girl" in t["prompt"], "boy" in t["prompt"]) for t in out} == {
