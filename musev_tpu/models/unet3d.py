@@ -279,59 +279,48 @@ def _maybe_adain(cfg, x, num_frames, gen_index, cond_index):
     return x
 
 
-def unet3d_apply(
+@dataclasses.dataclass
+class UNetOps:
+    """Strategy hooks for the block-loop core (``unet3d_core``).
+
+    The core loop only knows about frame-local row tensors ``(N, H, W, C)``;
+    everything that mixes frames or needs global batch structure goes through
+    these hooks. The default instance (built by ``unet3d_apply``) implements
+    single-program execution with frames folded into the batch; the
+    frame-parallel executor (``parallel.frame_parallel``) swaps in
+    collective-backed implementations over row shards.
+    """
+
+    spatial: Any  # (layer_params, x) -> x
+    temporal_conv: Any  # (temp_conv_params, x) -> x
+    temporal_attn: Any  # (temp_attn_params, x) -> x
+    refer_fuse: Any  # (fuse_params, x, refer_emb) -> x
+    adain: Any  # (x) -> x
+    use_temporal: bool = True
+
+
+def prepare_unet_inputs(
     params: Params,
     cfg: UNet3DConfig,
     sample: jnp.ndarray,
     timestep: jnp.ndarray,
     text_emb: jnp.ndarray,
     *,
-    condition_latents: Optional[jnp.ndarray] = None,
-    gen_index: Optional[Sequence[int]] = None,
-    cond_index: Optional[Sequence[int]] = None,
-    do_cfg: bool = False,
-    motion_speed: float = 8.0,
-    skip_temporal: bool = False,
-    frame_index: Optional[jnp.ndarray] = None,
-    down_block_refer_embs: Optional[List[jnp.ndarray]] = None,
-    mid_block_refer_emb: Optional[jnp.ndarray] = None,
-    refer_self_attn_embs: Optional[List[jnp.ndarray]] = None,
-    refer_self_attn_mode: Optional[str] = None,
-    vision_clip_emb: Optional[jnp.ndarray] = None,
-    ip_adapter_scale: float = 1.0,
-    ip_adapter_face_emb: Optional[jnp.ndarray] = None,
-    ip_adapter_face_scale: float = 1.0,
-    controlnet_down_residuals: Optional[Sequence[jnp.ndarray]] = None,
-    controlnet_mid_residual: Optional[jnp.ndarray] = None,
-    pose_guider_emb: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
-    """Predict noise for a window of frames.
+    motion_speed: float,
+    use_temporal: bool,
+    frame_index: Optional[jnp.ndarray],
+    cond_index: Optional[Sequence[int]],
+    vision_clip_emb: Optional[jnp.ndarray],
+    ip_adapter_face_emb: Optional[jnp.ndarray],
+):
+    """Embedding/context prep shared by the folded and frame-parallel paths.
 
-    Args:
-      sample: (B, T_gen, H, W, C) noisy latents (generated frames only).
-      timestep: scalar or (B,) diffusion timestep.
-      text_emb: (B, S, cross_dim) or (B, T, S, cross_dim) prompt embeddings.
-      condition_latents: (B, n_vc, H, W, C) clean vision-condition latents,
-        spliced into the sample at ``cond_index`` (forward :875-882).
-      gen_index / cond_index: static frame indices in the combined video.
-      do_cfg: leading batch is [uncond; cond] halves.
-      refer_self_attn_embs/mode: "write" collects normalized self-attn inputs
-        (ReferenceNet side), "read" injects them as extra KV tokens.
-      vision_clip_emb: (B, S_ip, D) projected IP-Adapter image tokens.
-
-    Returns:
-      (B, T_total, H, W, C) noise prediction over the *spliced* video
-      (condition frames included, as in the reference; the pipeline drops
-      them, pipeline_controlnet.py:2068-2071).
+    Returns ``(temb, femb, text_ctx, clip_ctx, face_ctx, cond_mask)`` where
+    row tensors are aligned to the ``(B*T, ...)`` frame-row flattening of
+    ``sample`` and ``femb`` stays ``(B, T, femb_dim)``.
     """
-    if condition_latents is not None:
-        assert gen_index is not None and cond_index is not None
-        sample = splice_with_index(
-            condition_latents, cond_index, sample, gen_index, axis=1
-        )
-    b, num_frames, h0, w0, _ = sample.shape
+    b, num_frames = sample.shape[:2]
     compute_dtype = sample.dtype
-    use_temporal = not skip_temporal
 
     # --- time embedding -> per-frame rows (B*T, temb_dim)
     ts = jnp.asarray(timestep)
@@ -401,9 +390,215 @@ def unet3d_apply(
     ):
         cond_mask = frame_mask(num_frames, cond_index)
 
+    return temb, femb, text_ctx, clip_ctx, face_ctx, cond_mask
+
+
+def unet3d_core(
+    params: Params,
+    cfg: UNet3DConfig,
+    x: jnp.ndarray,
+    temb: jnp.ndarray,
+    ops: UNetOps,
+    *,
+    down_block_refer_embs: Optional[List[jnp.ndarray]] = None,
+    mid_block_refer_emb: Optional[jnp.ndarray] = None,
+    controlnet_down_residuals: Optional[Sequence[jnp.ndarray]] = None,
+    controlnet_mid_residual: Optional[jnp.ndarray] = None,
+    pose_guider_emb: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """The UNet block loop over frame rows ``x (N, H, W, C)``.
+
+    Frame-local compute (convs, resnets, head) is inlined; frame-mixing and
+    attention ops dispatch through ``ops`` so the same loop serves both the
+    batch-folded and the frame-parallel execution strategies.
+    """
+    groups = cfg.norm_num_groups
+    eps = cfg.norm_eps
+
+    x = conv2d(params["conv_in"], x, padding=1)
+    if pose_guider_emb is not None:
+        x = x + pose_guider_emb.astype(x.dtype)
+    if cfg.need_transformer_in and cfg.temporal_transformer and ops.use_temporal:
+        x = ops.temporal_attn(params["transformer_in"], x)
+    if (
+        cfg.need_refer_emb
+        and down_block_refer_embs is not None
+        and "first_refer_emb_attns" in params
+    ):
+        x = ops.refer_fuse(
+            params["first_refer_emb_attns"], x, down_block_refer_embs[0]
+        )
+
+    def run_temporal(layer_p, x):
+        if ops.use_temporal and "temp_conv" in layer_p:
+            x = ops.temporal_conv(layer_p["temp_conv"], x)
+        return x
+
+    def run_temporal_attn(layer_p, x):
+        if ops.use_temporal and "temp_attn" in layer_p:
+            x = ops.temporal_attn(layer_p["temp_attn"], x)
+        return x
+
+    # --- down
+    skips = [x]
+    refer_pos = 1  # index into down_block_refer_embs (0 consumed at the stem)
+    for i_block, block in enumerate(params["down_blocks"]):
+        btype = cfg.down_block_types[i_block]
+        fuse_refer = (
+            cfg.need_refer_emb
+            and down_block_refer_embs is not None
+            and "refer_emb_attns" in block
+        )
+        for j_layer, layer in enumerate(block["layers"]):
+            x = blk.resnet_block(
+                layer["resnet"], x, temb, groups=groups, eps=eps,
+                skip_time_act=cfg.resnet_skip_time_act,
+            )
+            x = run_temporal(layer, x)
+            if _is_cross(btype):
+                x = ops.spatial(layer["attn"], x)
+            x = run_temporal_attn(layer, x)
+            x = ops.adain(x)
+            if fuse_refer:
+                x = ops.refer_fuse(
+                    block["refer_emb_attns"][j_layer], x,
+                    down_block_refer_embs[refer_pos + j_layer],
+                )
+            skips.append(x)
+        if "downsample" in block:
+            x = blk.downsample(block["downsample"], x)
+            x = ops.adain(x)
+            if fuse_refer:
+                x = ops.refer_fuse(
+                    block["refer_emb_attns"][len(block["layers"])], x,
+                    down_block_refer_embs[refer_pos + len(block["layers"])],
+                )
+            skips.append(x)
+        if fuse_refer:
+            refer_pos += len(block["refer_emb_attns"])
+
+    if controlnet_down_residuals is not None:
+        skips = [s + r.astype(s.dtype) for s, r in zip(skips, controlnet_down_residuals)]
+        x = skips[-1]
+
+    # --- mid
+    mid = params["mid_block"]
+    x = blk.resnet_block(
+        mid["resnet_0"], x, temb, groups=groups, eps=eps,
+        skip_time_act=cfg.resnet_skip_time_act,
+    )
+    if ops.use_temporal and "temp_conv_0" in mid:
+        x = ops.temporal_conv(mid["temp_conv_0"], x)
+    x = ops.spatial(mid["attn"], x)
+    x = run_temporal_attn(mid, x)
+    x = blk.resnet_block(
+        mid["resnet_1"], x, temb, groups=groups, eps=eps,
+        skip_time_act=cfg.resnet_skip_time_act,
+    )
+    if ops.use_temporal and "temp_conv_1" in mid:
+        x = ops.temporal_conv(mid["temp_conv_1"], x)
+    x = ops.adain(x)
+    if (
+        cfg.need_refer_emb
+        and mid_block_refer_emb is not None
+        and "mid_block_refer_emb_attns" in params
+    ):
+        x = ops.refer_fuse(
+            params["mid_block_refer_emb_attns"], x, mid_block_refer_emb
+        )
+    if controlnet_mid_residual is not None:
+        x = x + controlnet_mid_residual.astype(x.dtype)
+
+    # --- up
+    for i_block, block in enumerate(params["up_blocks"]):
+        btype = cfg.up_block_types[i_block]
+        for layer in block["layers"]:
+            skip = skips.pop()
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = blk.resnet_block(
+                layer["resnet"], x, temb, groups=groups, eps=eps,
+                skip_time_act=cfg.resnet_skip_time_act,
+            )
+            x = run_temporal(layer, x)
+            if _is_cross(btype):
+                x = ops.spatial(layer["attn"], x)
+            x = run_temporal_attn(layer, x)
+            x = ops.adain(x)
+        if "upsample" in block:
+            out_hw = skips[-1].shape[1:3] if skips else None
+            x = blk.upsample(block["upsample"], x, out_hw=out_hw)
+
+    # --- head
+    x = group_norm(params["conv_norm_out"], x, num_groups=groups, eps=eps)
+    x = silu(x)
+    x = conv2d(params["conv_out"], x, padding=1)
+    return x
+
+
+def unet3d_apply(
+    params: Params,
+    cfg: UNet3DConfig,
+    sample: jnp.ndarray,
+    timestep: jnp.ndarray,
+    text_emb: jnp.ndarray,
+    *,
+    condition_latents: Optional[jnp.ndarray] = None,
+    gen_index: Optional[Sequence[int]] = None,
+    cond_index: Optional[Sequence[int]] = None,
+    do_cfg: bool = False,
+    motion_speed: float = 8.0,
+    skip_temporal: bool = False,
+    frame_index: Optional[jnp.ndarray] = None,
+    down_block_refer_embs: Optional[List[jnp.ndarray]] = None,
+    mid_block_refer_emb: Optional[jnp.ndarray] = None,
+    refer_self_attn_embs: Optional[List[jnp.ndarray]] = None,
+    refer_self_attn_mode: Optional[str] = None,
+    vision_clip_emb: Optional[jnp.ndarray] = None,
+    ip_adapter_scale: float = 1.0,
+    ip_adapter_face_emb: Optional[jnp.ndarray] = None,
+    ip_adapter_face_scale: float = 1.0,
+    controlnet_down_residuals: Optional[Sequence[jnp.ndarray]] = None,
+    controlnet_mid_residual: Optional[jnp.ndarray] = None,
+    pose_guider_emb: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Predict noise for a window of frames.
+
+    Args:
+      sample: (B, T_gen, H, W, C) noisy latents (generated frames only).
+      timestep: scalar or (B,) diffusion timestep.
+      text_emb: (B, S, cross_dim) or (B, T, S, cross_dim) prompt embeddings.
+      condition_latents: (B, n_vc, H, W, C) clean vision-condition latents,
+        spliced into the sample at ``cond_index`` (forward :875-882).
+      gen_index / cond_index: static frame indices in the combined video.
+      do_cfg: leading batch is [uncond; cond] halves.
+      refer_self_attn_embs/mode: "write" collects normalized self-attn inputs
+        (ReferenceNet side), "read" injects them as extra KV tokens.
+      vision_clip_emb: (B, S_ip, D) projected IP-Adapter image tokens.
+
+    Returns:
+      (B, T_total, H, W, C) noise prediction over the *spliced* video
+      (condition frames included, as in the reference; the pipeline drops
+      them, pipeline_controlnet.py:2068-2071).
+    """
+    if condition_latents is not None:
+        assert gen_index is not None and cond_index is not None
+        sample = splice_with_index(
+            condition_latents, cond_index, sample, gen_index, axis=1
+        )
+    b, num_frames, h0, w0, _ = sample.shape
+    compute_dtype = sample.dtype
+    use_temporal = not skip_temporal
+
+    temb, femb, text_ctx, clip_ctx, face_ctx, cond_mask = prepare_unet_inputs(
+        params, cfg, sample, timestep, text_emb,
+        motion_speed=motion_speed, use_temporal=use_temporal,
+        frame_index=frame_index, cond_index=cond_index,
+        vision_clip_emb=vision_clip_emb,
+        ip_adapter_face_emb=ip_adapter_face_emb,
+    )
+
     groups = cfg.norm_num_groups
     heads = cfg.attention_heads
-    eps = cfg.norm_eps
 
     spatial_kwargs = dict(
         heads=heads,
@@ -417,19 +612,16 @@ def unet3d_apply(
 
     self_attn_counter = [0]
 
-    def run_spatial(layer_p, x, refer_tokens=None):
+    def run_spatial(layer_p, x):
         idx = self_attn_counter[0]
         self_attn_counter[0] += 1
         write_list = None
-        read_tokens = refer_tokens
+        read_tokens = None
         if refer_self_attn_embs is not None:
             if refer_self_attn_mode == "write":
                 write_list = refer_self_attn_embs
             elif refer_self_attn_mode == "read":
-                ref = refer_self_attn_embs[idx]
-                read_tokens = ref if read_tokens is None else jnp.concatenate(
-                    [read_tokens, ref], axis=1
-                )
+                read_tokens = refer_self_attn_embs[idx]
         return blk.spatial_transformer(
             layer_p,
             x,
@@ -442,16 +634,6 @@ def unet3d_apply(
             self_attn_idx=idx,
             **spatial_kwargs,
         )
-
-    def run_temporal(layer_p, x):
-        if not use_temporal:
-            return x
-        if "temp_conv" in layer_p:
-            x = blk.temporal_conv_layer(
-                layer_p["temp_conv"], x, num_frames=num_frames,
-                cond_mask=cond_mask, groups=groups,
-            )
-        return x
 
     spatial_pos_embs: Dict[Tuple[int, int], jnp.ndarray] = {}
 
@@ -475,134 +657,32 @@ def unet3d_apply(
             spatial_pos_embs[(hh, ww)] = sp
         return spatial_pos_embs[(hh, ww)]
 
-    def run_temporal_attn(layer_p, x):
-        if not use_temporal or "temp_attn" not in layer_p:
-            return x
-        return blk.temporal_transformer(
-            layer_p["temp_attn"], x, femb, num_frames=num_frames, heads=heads,
+    ops = UNetOps(
+        spatial=run_spatial,
+        temporal_conv=lambda p_, x_: blk.temporal_conv_layer(
+            p_, x_, num_frames=num_frames, cond_mask=cond_mask, groups=groups
+        ),
+        temporal_attn=lambda p_, x_: blk.temporal_transformer(
+            p_, x_, femb, num_frames=num_frames, heads=heads,
             cond_mask=cond_mask, groups=groups,
-            spatial_position_emb=get_spatial_emb(x.shape[1], x.shape[2]),
+            spatial_position_emb=get_spatial_emb(x_.shape[1], x_.shape[2]),
             self_attn_mask=cfg.temporal_self_attn_mask,
             mask_n_near=cfg.temporal_attn_n_near,
-        )
+        ),
+        refer_fuse=lambda p_, x_, e_: blk.refer_emb_fuse(
+            p_, x_, e_, num_frames=num_frames, heads=heads
+        ),
+        adain=lambda x_: _maybe_adain(cfg, x_, num_frames, gen_index, cond_index),
+        use_temporal=use_temporal,
+    )
 
-    # --- stem
     x = sample.reshape(b * num_frames, h0, w0, -1)
-    x = conv2d(params["conv_in"], x, padding=1)
-    if pose_guider_emb is not None:
-        x = x + pose_guider_emb.astype(x.dtype)
-    if cfg.need_transformer_in and cfg.temporal_transformer and use_temporal:
-        x = blk.temporal_transformer(
-            params["transformer_in"], x, femb, num_frames=num_frames,
-            heads=heads, cond_mask=cond_mask, groups=groups,
-            spatial_position_emb=get_spatial_emb(x.shape[1], x.shape[2]),
-            self_attn_mask=cfg.temporal_self_attn_mask,
-            mask_n_near=cfg.temporal_attn_n_near,
-        )
-    if (
-        cfg.need_refer_emb
-        and down_block_refer_embs is not None
-        and "first_refer_emb_attns" in params
-    ):
-        x = blk.refer_emb_fuse(
-            params["first_refer_emb_attns"], x, down_block_refer_embs[0],
-            num_frames=num_frames, heads=heads,
-        )
-
-    # --- down
-    skips = [x]
-    refer_pos = 1  # index into down_block_refer_embs (0 consumed at the stem)
-    for i_block, block in enumerate(params["down_blocks"]):
-        btype = cfg.down_block_types[i_block]
-        fuse_refer = (
-            cfg.need_refer_emb
-            and down_block_refer_embs is not None
-            and "refer_emb_attns" in block
-        )
-        for j_layer, layer in enumerate(block["layers"]):
-            x = blk.resnet_block(
-                layer["resnet"], x, temb, groups=groups, eps=eps,
-                skip_time_act=cfg.resnet_skip_time_act,
-            )
-            x = run_temporal(layer, x)
-            if _is_cross(btype):
-                x = run_spatial(layer["attn"], x)
-            x = run_temporal_attn(layer, x)
-            x = _maybe_adain(cfg, x, num_frames, gen_index, cond_index)
-            if fuse_refer:
-                x = blk.refer_emb_fuse(
-                    block["refer_emb_attns"][j_layer], x,
-                    down_block_refer_embs[refer_pos + j_layer],
-                    num_frames=num_frames, heads=heads,
-                )
-            skips.append(x)
-        if "downsample" in block:
-            x = blk.downsample(block["downsample"], x)
-            x = _maybe_adain(cfg, x, num_frames, gen_index, cond_index)
-            if fuse_refer:
-                x = blk.refer_emb_fuse(
-                    block["refer_emb_attns"][len(block["layers"])], x,
-                    down_block_refer_embs[refer_pos + len(block["layers"])],
-                    num_frames=num_frames, heads=heads,
-                )
-            skips.append(x)
-        if fuse_refer:
-            refer_pos += len(block["refer_emb_attns"])
-
-    if controlnet_down_residuals is not None:
-        skips = [s + r.astype(s.dtype) for s, r in zip(skips, controlnet_down_residuals)]
-        x = skips[-1]
-
-    # --- mid
-    mid = params["mid_block"]
-    x = blk.resnet_block(
-        mid["resnet_0"], x, temb, groups=groups, eps=eps,
-        skip_time_act=cfg.resnet_skip_time_act,
+    x = unet3d_core(
+        params, cfg, x, temb, ops,
+        down_block_refer_embs=down_block_refer_embs,
+        mid_block_refer_emb=mid_block_refer_emb,
+        controlnet_down_residuals=controlnet_down_residuals,
+        controlnet_mid_residual=controlnet_mid_residual,
+        pose_guider_emb=pose_guider_emb,
     )
-    if "temp_conv_0" in mid:
-        x = run_temporal({"temp_conv": mid["temp_conv_0"]}, x)
-    x = run_spatial(mid["attn"], x)
-    x = run_temporal_attn(mid, x)
-    x = blk.resnet_block(
-        mid["resnet_1"], x, temb, groups=groups, eps=eps,
-        skip_time_act=cfg.resnet_skip_time_act,
-    )
-    if "temp_conv_1" in mid:
-        x = run_temporal({"temp_conv": mid["temp_conv_1"]}, x)
-    x = _maybe_adain(cfg, x, num_frames, gen_index, cond_index)
-    if (
-        cfg.need_refer_emb
-        and mid_block_refer_emb is not None
-        and "mid_block_refer_emb_attns" in params
-    ):
-        x = blk.refer_emb_fuse(
-            params["mid_block_refer_emb_attns"], x, mid_block_refer_emb,
-            num_frames=num_frames, heads=heads,
-        )
-    if controlnet_mid_residual is not None:
-        x = x + controlnet_mid_residual.astype(x.dtype)
-
-    # --- up
-    for i_block, block in enumerate(params["up_blocks"]):
-        btype = cfg.up_block_types[i_block]
-        for layer in block["layers"]:
-            skip = skips.pop()
-            x = jnp.concatenate([x, skip], axis=-1)
-            x = blk.resnet_block(
-                layer["resnet"], x, temb, groups=groups, eps=eps,
-                skip_time_act=cfg.resnet_skip_time_act,
-            )
-            x = run_temporal(layer, x)
-            if _is_cross(btype):
-                x = run_spatial(layer["attn"], x)
-            x = run_temporal_attn(layer, x)
-            x = _maybe_adain(cfg, x, num_frames, gen_index, cond_index)
-        if "upsample" in block:
-            out_hw = skips[-1].shape[1:3] if skips else None
-            x = blk.upsample(block["upsample"], x, out_hw=out_hw)
-
-    # --- head
-    x = group_norm(params["conv_norm_out"], x, num_groups=groups, eps=eps)
-    x = silu(x)
-    x = conv2d(params["conv_out"], x, padding=1)
     return x.reshape(b, num_frames, h0, w0, -1)
