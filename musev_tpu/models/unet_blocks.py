@@ -364,16 +364,23 @@ def transformer_block_spatial(
     ip_adapter_face_scale: float = 1.0,
     self_attn_out: Optional[List] = None,
     self_attn_idx: Optional[int] = None,
+    ref_attn_fn=None,
 ) -> jnp.ndarray:
     """One BasicTransformerBlock over token rows (B*T, HW, C).
 
     ``self_attn_out``: when given, the normalized hidden states are appended
     (ReferenceNet write mode, attention.py:242-259).
+    ``ref_attn_fn``: override for the ReferenceOnly self-attention —
+    ``(attn1_params, norm_h) -> out``. Used by the frame-parallel executor,
+    whose vision-condition KV tokens come from a cross-device gather instead
+    of an in-batch index.
     """
     norm_h = layer_norm(p["norm1"], x)
     if self_attn_out is not None and self_attn_idx is not None:
         self_attn_out[self_attn_idx] = norm_h
-    if reference_attn:
+    if reference_attn and ref_attn_fn is not None:
+        attn_out = ref_attn_fn(p["attn1"], norm_h)
+    elif reference_attn:
         attn_out = reference_self_attention(
             p["attn1"],
             norm_h,
@@ -527,6 +534,82 @@ def init_temporal_transformer(
     }
 
 
+def temporal_transformer_core(
+    p: Params,
+    y: jnp.ndarray,
+    femb: jnp.ndarray,
+    *,
+    num_frames: int,
+    heads: int,
+    femb_nonlinear: bool = True,
+    spatial_position_emb: Optional[jnp.ndarray] = None,
+    self_attn_mask: Optional[str] = None,
+    mask_n_near: int = 1,
+) -> jnp.ndarray:
+    """Pixel-major temporal transformer: proj_in -> attn1/attn2/ff -> proj_out.
+
+    y: (B, S, T, C) pixel-major rows (already group-normalized); femb
+    (B, T, femb_dim); spatial_position_emb, when given, covers exactly the
+    ``S`` pixels of ``y`` (the frame-parallel executor passes each device's
+    pixel slice). Returns (B, S, T, C); the caller applies temporal_weight /
+    cond-mask / residual and any layout pivots.
+    """
+    b, s, t, c = y.shape
+    # pad T to a sublane multiple: with T=25 rows every feeding matmul's
+    # (N*T, C) <-> (N, T, C) reshape re-tiles (2nd-minor dim not
+    # 8-divisible), costing ~1 GB/step of XLA copies at L0; with T=32 the
+    # reshapes are bitcasts. Padded keys are masked in attention; padded
+    # rows are sliced away before the residual.
+    t_pad = (-num_frames) % 8
+    tp = num_frames + t_pad
+    if t_pad:
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, t_pad), (0, 0)))
+    f = silu(femb) if femb_nonlinear else femb
+    f = linear(p["femb_proj"], f)  # (b, T, inner)
+    if t_pad:
+        f = jnp.pad(f, ((0, 0), (0, t_pad), (0, 0)))
+    y = linear(p["proj_in"], y)
+    y = y + f[:, None, :, :].astype(y.dtype)
+    if spatial_position_emb is not None and "spatial_emb_proj" in p:
+        # (S, femb_dim) sincos grid projected and added per pixel row
+        sp = linear(p["spatial_emb_proj"], spatial_position_emb.astype(y.dtype))
+        y = y + sp[None, :, None, :]
+    rows = y.reshape(b * s, tp, -1)
+    attn_bias = None
+    if self_attn_mask is not None:
+        from ..ops.attention_mask import sparse_causal_mask
+
+        mask = sparse_causal_mask(
+            num_frames, n_near=mask_n_near,
+            attend_first=(self_attn_mask == "sparse_causal"),
+        )
+        mask = np.asarray(mask)
+        if t_pad:
+            # padded kv columns -inf; padded q rows attend everything valid
+            # (their outputs are discarded)
+            full = np.full((tp, tp), -np.inf, mask.dtype)
+            full[:num_frames, :num_frames] = mask
+            full[num_frames:, :num_frames] = 0.0
+            mask = full
+        attn_bias = jnp.asarray(mask)[None, None]  # (1, 1, T, T)
+    kvl = num_frames if (t_pad and attn_bias is None) else None
+    blk = p["block"]
+    rows = rows + attention(
+        blk["attn1"], layer_norm(blk["norm1"], rows), heads=heads,
+        bias=attn_bias, kv_len=kvl,
+    )
+    rows = rows + attention(
+        blk["attn2"], layer_norm(blk["norm2"], rows), heads=heads,
+        bias=attn_bias, kv_len=kvl,
+    )
+    rows = rows + geglu_ff(blk["ff"], layer_norm(blk["norm3"], rows))
+    y = rows.reshape(b, s, tp, -1)
+    y = linear(p["proj_out"], y)
+    if t_pad:
+        y = y[:, :, :num_frames]
+    return y
+
+
 def temporal_transformer(
     p: Params,
     x: jnp.ndarray,
@@ -559,58 +642,12 @@ def temporal_transformer(
     y = group_norm(p["norm"], v, num_groups=groups, eps=1e-6)
     # (b, T, H, W, C) -> (b, H*W, T, C)
     y = y.transpose(0, 2, 3, 1, 4).reshape(b, h * w, num_frames, c)
-    # pad T to a sublane multiple: with T=25 rows every feeding matmul's
-    # (N*T, C) <-> (N, T, C) reshape re-tiles (2nd-minor dim not
-    # 8-divisible), costing ~1 GB/step of XLA copies at L0; with T=32 the
-    # reshapes are bitcasts. Padded keys are masked in attention; padded
-    # rows are sliced away before the residual.
-    t_pad = (-num_frames) % 8
-    tp = num_frames + t_pad
-    if t_pad:
-        y = jnp.pad(y, ((0, 0), (0, 0), (0, t_pad), (0, 0)))
-    f = silu(femb) if femb_nonlinear else femb
-    f = linear(p["femb_proj"], f)  # (b, T, inner)
-    if t_pad:
-        f = jnp.pad(f, ((0, 0), (0, t_pad), (0, 0)))
-    y = linear(p["proj_in"], y)
-    y = y + f[:, None, :, :].astype(y.dtype)
-    if spatial_position_emb is not None and "spatial_emb_proj" in p:
-        # (H*W, femb_dim) sincos grid projected and added per pixel row
-        sp = linear(p["spatial_emb_proj"], spatial_position_emb.astype(y.dtype))
-        y = y + sp[None, :, None, :]
-    rows = y.reshape(b * h * w, tp, -1)
-    attn_bias = None
-    if self_attn_mask is not None:
-        from ..ops.attention_mask import sparse_causal_mask
-
-        mask = sparse_causal_mask(
-            num_frames, n_near=mask_n_near,
-            attend_first=(self_attn_mask == "sparse_causal"),
-        )
-        mask = np.asarray(mask)
-        if t_pad:
-            # padded kv columns -inf; padded q rows attend everything valid
-            # (their outputs are discarded)
-            full = np.full((tp, tp), -np.inf, mask.dtype)
-            full[:num_frames, :num_frames] = mask
-            full[num_frames:, :num_frames] = 0.0
-            mask = full
-        attn_bias = jnp.asarray(mask)[None, None]  # (1, 1, T, T)
-    kvl = num_frames if (t_pad and attn_bias is None) else None
-    blk = p["block"]
-    rows = rows + attention(
-        blk["attn1"], layer_norm(blk["norm1"], rows), heads=heads,
-        bias=attn_bias, kv_len=kvl,
+    y = temporal_transformer_core(
+        p, y, femb, num_frames=num_frames, heads=heads,
+        femb_nonlinear=femb_nonlinear,
+        spatial_position_emb=spatial_position_emb,
+        self_attn_mask=self_attn_mask, mask_n_near=mask_n_near,
     )
-    rows = rows + attention(
-        blk["attn2"], layer_norm(blk["norm2"], rows), heads=heads,
-        bias=attn_bias, kv_len=kvl,
-    )
-    rows = rows + geglu_ff(blk["ff"], layer_norm(blk["norm3"], rows))
-    y = rows.reshape(b, h * w, tp, -1)
-    y = linear(p["proj_out"], y)
-    if t_pad:
-        y = y[:, :, :num_frames]
     y = y.reshape(b, h, w, num_frames, c).transpose(0, 3, 1, 2, 4)
     wgt = jnp.abs(p["temporal_weight"]).astype(y.dtype)[0]
     if cond_mask is not None:

@@ -1,0 +1,157 @@
+"""Frame-parallel UNet execution (parallel/frame_parallel.py) on the
+8-device CPU mesh: sharded == unsharded for every frame-mixing pattern
+(temporal conv halos, temporal-attention pixel pivots, ReferenceOnly
+vis-token gathers, refer-emb fusion, CFG group split)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from musev_tpu.models.unet3d import (
+    UNet3DConfig,
+    init_unet3d,
+    unet3d_apply,
+)
+from musev_tpu.parallel.frame_parallel import GroupMeta, unet3d_apply_fp
+from musev_tpu.parallel.mesh import make_mesh
+
+
+def tiny_cfg(**over):
+    kw = dict(
+        block_out_channels=(16, 32),
+        down_block_types=("CrossAttnDownBlock3D", "DownBlock3D"),
+        up_block_types=("UpBlock3D", "CrossAttnUpBlock3D"),
+        layers_per_block=1,
+        norm_num_groups=4,
+        attention_heads=2,
+        cross_attention_dim=16,
+        keep_vision_condition=True,
+        keep_content_condition=True,
+    )
+    kw.update(over)
+    return UNet3DConfig(**kw)
+
+
+def make_inputs(key, b, t, h=8, w=8, s_text=7, cross=16):
+    k1, k2, k3 = jax.random.split(key, 3)
+    sample = jax.random.normal(k1, (b, t - 1, h, w, 4), jnp.float32)
+    cond = jax.random.normal(k2, (b, 1, h, w, 4), jnp.float32)
+    text = jax.random.normal(k3, (b, s_text, cross), jnp.float32)
+    return sample, cond, text
+
+
+def run_pair(cfg, params, kwargs):
+    ref = unet3d_apply(params, cfg, **kwargs)
+    mesh = make_mesh((8,), ("fp",))
+    with jax.set_mesh(mesh):
+        fp = unet3d_apply_fp(params, cfg, axis="fp", **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(fp), np.asarray(ref), atol=2e-4, rtol=2e-4
+    )
+    return ref
+
+
+def test_fp_matches_base_cfg_groups():
+    """CFG run: uncond rows plain, cond rows concat-KV, halo + pivot + vis
+    gather all exercised; rows (2 groups x 15 -> pad 16) cross devices."""
+    cfg = tiny_cfg()
+    params = init_unet3d(jax.random.key(0), cfg)
+    sample, cond, text = make_inputs(jax.random.key(1), b=6, t=5)
+    ref = run_pair(cfg, params, dict(
+        sample=sample, timestep=jnp.asarray(7.0), text_emb=text,
+        condition_latents=cond, gen_index=tuple(range(1, 5)),
+        cond_index=(0,), do_cfg=True,
+    ))
+    assert ref.shape == (6, 5, 8, 8, 4)
+
+
+def test_fp_matches_base_no_cfg():
+    cfg = tiny_cfg()
+    params = init_unet3d(jax.random.key(2), cfg)
+    sample, cond, text = make_inputs(jax.random.key(3), b=3, t=5)
+    run_pair(cfg, params, dict(
+        sample=sample, timestep=jnp.asarray(3.0), text_emb=text,
+        condition_latents=cond, gen_index=tuple(range(1, 5)),
+        cond_index=(0,), do_cfg=False,
+    ))
+
+
+def test_fp_matches_base_referencenet_features():
+    """Refnet-style config: anivv1 temb, refer-emb fusion at stem/blocks/mid,
+    read-mode self-attn tokens, IP-Adapter cross-attention tokens."""
+    cfg = tiny_cfg(
+        need_transformer_in=False,
+        use_anivv1_cfg=True,
+        resnet_skip_time_act=True,
+        need_refer_emb=True,
+        ip_adapter_cross_attn=True,
+        ip_adapter_dim=16,
+    )
+    params = init_unet3d(jax.random.key(4), cfg)
+    b, t, h, w = 6, 5, 8, 8
+    sample, cond, text = make_inputs(jax.random.key(5), b=b, t=t)
+    # refer embs: stem + (1 layer + downsample) + final block 1 layer = match
+    # init_unet3d's refer_emb_attns layout for this tiny config
+    key = jax.random.key(6)
+
+    def rand(shape):
+        nonlocal key
+        key, k = jax.random.split(key)
+        return jax.random.normal(k, shape, jnp.float32)
+
+    down_refer = [
+        rand((b, 1, h, w, 16)),  # stem
+        rand((b, 1, h, w, 16)),  # block0 layer0
+        rand((b, 1, h // 2, w // 2, 16)),  # block0 downsample
+        rand((b, 1, h // 2, w // 2, 32)),  # block1 layer0
+    ]
+    mid_refer = rand((b, 1, h // 2, w // 2, 32))
+    # spatial-attn sites in call order: down block0 layer0 (C=16), mid
+    # (C=32), up block1 layers 0-1 (C=16)
+    refer_embs = [rand((b, 12, c)) for c in (16, 32, 16, 16)]
+    clip = rand((b, 4, 16))
+    run_pair(cfg, params, dict(
+        sample=sample, timestep=jnp.asarray(11.0), text_emb=text,
+        condition_latents=cond, gen_index=tuple(range(1, 5)),
+        cond_index=(0,), do_cfg=True,
+        down_block_refer_embs=down_refer, mid_block_refer_emb=mid_refer,
+        refer_self_attn_embs=refer_embs, refer_self_attn_mode="read",
+        vision_clip_emb=clip, ip_adapter_scale=0.7,
+    ))
+
+
+def test_fp_stub_comm_shapes():
+    """StubComm single-device bench mode: local shapes, finite values."""
+    cfg = tiny_cfg()
+    params = init_unet3d(jax.random.key(7), cfg)
+    sample, cond, text = make_inputs(jax.random.key(8), b=6, t=5)
+    out = unet3d_apply_fp(
+        params, cfg, sample, jnp.asarray(7.0), text,
+        condition_latents=cond, gen_index=tuple(range(1, 5)),
+        cond_index=(0,), do_cfg=True, stub_devices=8,
+    )
+    # two groups of 15 rows pad to 16 -> 2 local rows each
+    assert out.shape == (4, 8, 8, 4)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_group_meta_padding():
+    g = GroupMeta(n_batch=3, t=13, n=8, use_ref=True)
+    assert g.rows == 39 and g.rows_pad == 40 and g.local == 5 and g.pad == 1
+    idx = g.pad_index()
+    assert idx.shape == (40,) and idx[-1] == 0
+    g2 = GroupMeta(n_batch=1, t=4, n=8, use_ref=False)
+    assert g2.rows_pad == 8 and list(g2.pad_index()) == [0, 1, 2, 3] * 2
+
+
+def test_fp_requires_mesh():
+    cfg = tiny_cfg()
+    params = init_unet3d(jax.random.key(9), cfg)
+    sample, cond, text = make_inputs(jax.random.key(10), b=2, t=5)
+    with pytest.raises(ValueError, match="ambient mesh"):
+        unet3d_apply_fp(
+            params, cfg, sample, jnp.asarray(1.0), text,
+            condition_latents=cond, gen_index=tuple(range(1, 5)),
+            cond_index=(0,), do_cfg=True,
+        )
