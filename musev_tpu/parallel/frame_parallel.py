@@ -697,8 +697,14 @@ def unet3d_apply_fp(
             lambda a: a[: a.shape[0] // n], group_rows
         )
         outs = local_fn(params, local_rows, reps, comm)
-        # one shard's rows only — bench mode, shapes (local, H, W, C)
-        return jnp.concatenate(outs, axis=0)
+        # one shard's rows, tiled out to the full batch shape so the caller's
+        # downstream bookkeeping (scatter-add, CFG combine) runs unmodified —
+        # values are bench-mode fakes, the UNet timing is the real shard
+        parts = []
+        for g, out in zip(metas, outs):
+            full = jnp.tile(out, (n, 1, 1, 1))[:g.rows]
+            parts.append(full.reshape(g.n_batch, num_frames, h0, w0, -1))
+        return jnp.concatenate(parts, axis=0)
 
     def shard_fn(params_, rows_, reps_):
         return local_fn(params_, rows_, reps_, RealComm(axis))

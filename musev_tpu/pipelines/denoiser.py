@@ -79,6 +79,15 @@ class DenoiseSpec:
     # shard_map ring attention (parallel.ring_attention) with K/V shards
     # rotating over ICI
     sp_axis: Optional[str] = None
+    # mesh axis for frame parallelism: the UNet call runs as the shard_map
+    # program of parallel.frame_parallel, with every (window, cfg, frame) row
+    # sharded — chip count decoupled from the window plan. Mutually exclusive
+    # with dp/tp/sp.
+    fp_axis: Optional[str] = None
+    # single-chip bench mode: run ONE device's frame-parallel shard with
+    # StubComm (see frame_parallel.StubComm); outputs are numerically fake
+    # at collective points, timing-faithful otherwise
+    fp_stub_devices: Optional[int] = None
 
     def __hash__(self):
         return hash(
@@ -89,7 +98,8 @@ class DenoiseSpec:
              self.video_overlap, self.record_mid_video,
              self.record_step_latents, self.start_step,
              self.controlnet_cfg, self.controlnet_scale, self.pose_guider_cfg,
-             self.dp_axis, self.tp_axis, self.sp_axis)
+             self.dp_axis, self.tp_axis, self.sp_axis, self.fp_axis,
+             self.fp_stub_devices)
         )
 
     def __eq__(self, other):
@@ -300,12 +310,22 @@ def _predict_noise_inner(
             else:
                 cn_down = [a + b_ for a, b_ in zip(cn_down, d_i)]
                 cn_mid = cn_mid + m_i
-    out = unet3d_apply(
+    unet_fn = unet3d_apply
+    unet_extra = {}
+    if spec.fp_axis is not None or spec.fp_stub_devices is not None:
+        from ..parallel.frame_parallel import unet3d_apply_fp
+
+        unet_fn = unet3d_apply_fp
+        unet_extra = dict(
+            axis=spec.fp_axis or "fp", stub_devices=spec.fp_stub_devices
+        )
+    out = unet_fn(
         params,
         spec.unet_cfg,
         model_in,
         jnp.asarray(spec.scheduler.timesteps)[step_index],
         text,
+        **unet_extra,
         condition_latents=cond,
         gen_index=gen_index,
         cond_index=cond_index,

@@ -131,8 +131,8 @@ def test_fp_stub_comm_shapes():
         condition_latents=cond, gen_index=tuple(range(1, 5)),
         cond_index=(0,), do_cfg=True, stub_devices=8,
     )
-    # two groups of 15 rows pad to 16 -> 2 local rows each
-    assert out.shape == (4, 8, 8, 4)
+    # one shard's rows (2 per group) computed, tiled back to the full shape
+    assert out.shape == (6, 5, 8, 8, 4)
     assert bool(jnp.isfinite(out).all())
 
 
@@ -143,6 +143,69 @@ def test_group_meta_padding():
     assert idx.shape == (40,) and idx[-1] == 0
     g2 = GroupMeta(n_batch=1, t=4, n=8, use_ref=False)
     assert g2.rows_pad == 8 and list(g2.pad_index()) == [0, 1, 2, 3] * 2
+
+
+def _denoise_setup(steps=2):
+    from musev_tpu.ops.context import make_window_plan
+    from musev_tpu.ops.guidance import guidance_schedule
+    from musev_tpu.pipelines.denoiser import DenoiseSpec
+    from musev_tpu.schedulers.euler_discrete import EulerDiscreteScheduler
+
+    cfg = tiny_cfg()
+    params = init_unet3d(jax.random.key(11), cfg)
+
+    def spec(**over):
+        kw = dict(
+            unet_cfg=cfg,
+            scheduler=EulerDiscreteScheduler.create(steps),
+            plan=make_window_plan(8, 4, context_overlap=2),
+            guidance=guidance_schedule(3.5, steps),
+            n_vision_cond=1,
+            do_cfg=True,
+            noise_type="video_fusion",
+        )
+        kw.update(over)
+        return DenoiseSpec(**kw)
+
+    b, h, w = 1, 8, 8
+    lat = jax.random.normal(jax.random.key(12), (b, 8, h, w, 4), jnp.float32)
+    cond = jax.random.normal(jax.random.key(13), (b, 1, h, w, 4), jnp.float32)
+    tu = jax.random.normal(jax.random.key(14), (b, 7, 16), jnp.float32)
+    tc = jax.random.normal(jax.random.key(15), (b, 7, 16), jnp.float32)
+    return params, spec, (lat, tu, tc, cond)
+
+
+def test_fp_denoise_loop_matches_base():
+    """Full scanned denoise: spec.fp_axis sharded == unsharded."""
+    from musev_tpu.pipelines.denoiser import denoise_loop
+
+    params, mkspec, (lat, tu, tc, cond) = _denoise_setup()
+    key = jax.random.key(16)
+    base = denoise_loop(
+        params, mkspec(), lat, tu, tc, key, condition_latents=cond
+    )
+    mesh = make_mesh((8,), ("fp",))
+    with jax.set_mesh(mesh):
+        fp = denoise_loop(
+            params, mkspec(fp_axis="fp"), lat, tu, tc, key,
+            condition_latents=cond,
+        )
+    np.testing.assert_allclose(
+        np.asarray(fp), np.asarray(base), atol=5e-4, rtol=5e-4
+    )
+
+
+def test_fp_denoise_loop_stub_mode_runs():
+    """Single-chip bench mode drives the whole loop with fake collectives."""
+    from musev_tpu.pipelines.denoiser import denoise_loop
+
+    params, mkspec, (lat, tu, tc, cond) = _denoise_setup()
+    out = denoise_loop(
+        params, mkspec(fp_stub_devices=8), lat, tu, tc, jax.random.key(17),
+        condition_latents=cond,
+    )
+    assert out.shape == lat.shape
+    assert bool(jnp.isfinite(out).all())
 
 
 def test_fp_requires_mesh():
