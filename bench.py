@@ -69,6 +69,14 @@ def main():
                     help="lcm = the reference's LCM-LoRA fast path "
                          "(predictor.py:296-306): LCMScheduler, typically "
                          "with --steps 4")
+    ap.add_argument("--topology", type=str, default="fp",
+                    choices=["fp", "dp"],
+                    help="multi-chip projection topology: fp shards every "
+                         "(window, cfg, frame) row over all 8 chips "
+                         "(parallel/frame_parallel.py; per-chip share "
+                         "measured via the StubComm single-chip program); "
+                         "dp is the window-batch sharding (one window x one "
+                         "CFG half per chip)")
     args = ap.parse_args()
 
     from musev_tpu.models.init_util import fast_init
@@ -131,7 +139,7 @@ def main():
 
         cn_cfg = ControlNetConfig()
 
-    def build_spec(p, do_cfg=True):
+    def build_spec(p, do_cfg=True, **over):
         return DenoiseSpec(
             unet_cfg=cfg,
             scheduler=make_sched(args.steps),
@@ -140,6 +148,7 @@ def main():
             guidance=guidance_schedule(3.5, args.steps),
             n_vision_cond=1,
             do_cfg=do_cfg,
+            **over,
         )
 
     spec = build_spec(plan)
@@ -206,28 +215,49 @@ def main():
         dec = lambda l: vae_decode_video(vae_params, vae_cfg, l, segment=8)
         decode_s, _ = time_call(dec, out)
 
-    # per-shard workload: 1 window x 1 CFG half x all steps = one chip's
-    # share under the dp plan (6-way with overlap 4; 8-way with overlap 8)
+    # per-chip workload under the chosen topology
     shard_denoise_s = None
+    fp_model = None
+    n_chips = 8
     if not args.no_shard_probe and not args.single_window:
-        shard_plan = make_window_plan(ctx, ctx, context_overlap=0)
-        shard_spec = build_spec(shard_plan, do_cfg=False)
-        shard_lat = lat[:, :ctx]
-        def shard_slice(k, v):
-            if k == "controlnet_params":
-                return v
-            if k == "control_images":  # pose maps for viscond + ctx frames
-                return v[:, : 1 + ctx]
-            if k.startswith(("refer", "mid")):
-                return v
-            # pre-doubled [uncond; cond] tensors keep only the cond half
-            return v[-1:]
+        if args.topology == "fp":
+            # frame-parallel: ONE chip's row shard of the FULL overlap-4
+            # plan (all windows x CFG x 10 steps), measured by running the
+            # identical per-device SPMD program with StubComm (collective-
+            # shaped local data movement; ICI time added arithmetically
+            # below from the derived payload model)
+            from musev_tpu.parallel.frame_parallel import fp_collective_model
 
-        shard_extra = {k: shard_slice(k, v) for k, v in extra.items()}
-        shard_denoise_s, _ = time_call(
-            fn, params, shard_spec, shard_lat, None, tc, key,
-            condition_latents=cond, **shard_extra,
-        )
+            fp_spec = build_spec(plan, fp_stub_devices=n_chips)
+            shard_denoise_s, _ = time_call(
+                fn, params, fp_spec, lat, tu, tc, key,
+                condition_latents=cond, **extra,
+            )
+            fp_model = fp_collective_model(
+                cfg, t=ctx + 1, h0=hw, w0=hw, n=n_chips,
+                n_windows=plan.n_windows, do_cfg=True, n_vc=1,
+            )
+        else:
+            # window-dp: 1 window x 1 CFG half x all steps = one chip's
+            # share (6-way with overlap 4; 8-way with overlap 8)
+            shard_plan = make_window_plan(ctx, ctx, context_overlap=0)
+            shard_spec = build_spec(shard_plan, do_cfg=False)
+            shard_lat = lat[:, :ctx]
+            def shard_slice(k, v):
+                if k == "controlnet_params":
+                    return v
+                if k == "control_images":  # pose maps, viscond + ctx frames
+                    return v[:, : 1 + ctx]
+                if k.startswith(("refer", "mid")):
+                    return v
+                # pre-doubled [uncond; cond] tensors keep only the cond half
+                return v[-1:]
+
+            shard_extra = {k: shard_slice(k, v) for k, v in extra.items()}
+            shard_denoise_s, _ = time_call(
+                fn, params, shard_spec, shard_lat, None, tc, key,
+                condition_latents=cond, **shard_extra,
+            )
 
     e2e = denoise_s + decode_s
     fps_chip = args.frames / e2e
@@ -244,10 +274,37 @@ def main():
             "context_frames": ctx, "context_overlap": overlap,
             "n_windows": plan.n_windows, "tiny": bool(args.tiny),
             "preset": args.preset, "scheduler": args.scheduler,
+            "topology": args.topology,
             "backend": jax.default_backend(),
         },
     }
-    if shard_denoise_s is not None:
+    if shard_denoise_s is not None and fp_model is not None:
+        # v5e-8 frame-parallel projection: every chip runs the measured
+        # 1/8-row shard of the full plan; ICI time is derived from the
+        # per-step collective payloads the program actually issues (see
+        # fp_collective_model) at 50%-achievable v5e ICI bandwidth
+        # (100 GB/s/chip) + 5 us launch per collective, + the dp-style
+        # per-step latents all-gather. Decode is frame-parallel over 8.
+        ici_bw = 100e9
+        coll_lat = 5e-6
+        itemsize = 2
+        lat_bytes = int(np.prod(lat.shape)) * itemsize
+        per_step_ici = (
+            fp_model["bytes_per_step"] / ici_bw
+            + fp_model["collectives_per_step"] * coll_lat
+            + lat_bytes * (n_chips - 1) / n_chips / ici_bw
+        )
+        ici_s = args.steps * per_step_ici
+        proj = 1.02 * shard_denoise_s + ici_s + decode_s / n_chips
+        result["per_shard_denoise_seconds"] = round(shard_denoise_s, 3)
+        result["ici_seconds_derived"] = round(ici_s, 6)
+        result["ici_bytes_per_step"] = int(fp_model["bytes_per_step"])
+        result["ici_collectives_per_step"] = int(
+            fp_model["collectives_per_step"]
+        )
+        result["projected_v5e8_e2e_seconds"] = round(proj, 3)
+        result["vs_baseline"] = round(3.0 / proj, 3)
+    elif shard_denoise_s is not None:
         # v5e-8 projection: every chip runs one window x one CFG half
         # concurrently under the overlap-8 plan (4 windows x 2 CFG = 8
         # shards, all chips busy; the measured shard workload is identical

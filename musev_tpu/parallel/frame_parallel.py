@@ -727,6 +727,108 @@ def unet3d_apply_fp(
     return jnp.concatenate(parts, axis=0)
 
 
+def fp_collective_model(
+    cfg: UNet3DConfig,
+    *,
+    t: int,
+    h0: int,
+    w0: int,
+    n: int,
+    n_windows: int,
+    do_cfg: bool = True,
+    n_vc: int = 1,
+    itemsize: int = 2,
+) -> Dict[str, float]:
+    """Arithmetic ICI model for ONE denoise step of the frame-parallel
+    program: walks the UNet structure and sums per-device collective payload
+    bytes + collective launch count, so the multi-chip projection's
+    communication term is derived, not assumed.
+
+    Patterns counted (see module docstring):
+      * temporal conv: per site, 4 sublayers x 2 directions ppermutes of one
+        boundary row per CFG group, plus 4 GroupNorm stats psums
+      * temporal attention: per site, 2 tiled all_to_alls moving
+        (n-1)/n of the local rows, plus 1 stats psum
+      * ReferenceOnly spatial attention: per site, 1 psum all-reduce of the
+        (n_windows, n_vc*HW, C) vision-token block (ring: 2(n-1)/n)
+      * the row-sharded UNet output's implicit all-gather for the replicated
+        scatter-add/scheduler step
+
+    ``h0/w0`` are LATENT-resolution dims.
+    """
+    reps = 2 if do_cfg else 1
+    rows_g = n_windows * t
+    local_g = -(-rows_g // n)
+    l_tot = reps * local_g
+    L = len(cfg.block_out_channels)
+    res = []
+    h, w = h0, w0
+    for _ in range(L):
+        res.append((h, w))
+        h, w = -(-h // 2), -(-w // 2)
+
+    sites: List[Tuple[int, str]] = []
+    for i, btype in enumerate(cfg.down_block_types):
+        for _ in range(cfg.layers_per_block):
+            if cfg.temporal_conv:
+                sites.append((i, "tconv"))
+            if "CrossAttn" in btype:
+                if cfg.temporal_transformer:
+                    sites.append((i, "tattn"))
+                sites.append((i, "spatial"))
+    if cfg.temporal_conv:
+        sites += [(L - 1, "tconv")] * 2
+    if cfg.temporal_transformer:
+        sites.append((L - 1, "tattn"))
+    sites.append((L - 1, "spatial"))
+    for j, btype in enumerate(cfg.up_block_types):
+        lev = L - 1 - j
+        for _ in range(cfg.layers_per_block + 1):
+            if cfg.temporal_conv:
+                sites.append((lev, "tconv"))
+            if "CrossAttn" in btype:
+                if cfg.temporal_transformer:
+                    sites.append((lev, "tattn"))
+                sites.append((lev, "spatial"))
+    if cfg.need_transformer_in and cfg.temporal_transformer:
+        sites.append((0, "tattn"))
+
+    halo = a2a = vis = gn = 0.0
+    n_coll = 0
+    ring = 2.0 * (n - 1) / n  # all-reduce bytes factor
+    ag = (n - 1) / n  # all-gather / all_to_all bytes factor
+    for lev, kind in sites:
+        hh, ww = res[lev]
+        c = cfg.block_out_channels[lev]
+        row_b = hh * ww * c * itemsize
+        if kind == "tconv":
+            halo += 4 * 2 * reps * row_b  # 1 boundary row/group/dir/sublayer
+            gn += 4 * ring * (reps * n_windows) * 2 * c * 4  # f32 moments
+            n_coll += 4 * 3
+        elif kind == "tattn":
+            hw_pad = -(-hh * ww // n) * n
+            a2a += 2 * ag * l_tot * hw_pad * c * itemsize
+            gn += ring * (reps * n_windows) * 2 * c * 4
+            n_coll += 3
+        elif kind == "spatial" and n_vc > 0 and t > 1:
+            vis += ring * n_windows * n_vc * hh * ww * c * itemsize
+            n_coll += 1
+    # output rows all-gather for the replicated overlap scatter-add
+    out_gather = ag * reps * rows_g * h0 * w0 * cfg.out_channels * itemsize
+    n_coll += 1
+    total = halo + a2a + vis + gn + out_gather
+    return {
+        "bytes_per_step": total,
+        "halo_bytes": halo,
+        "a2a_bytes": a2a,
+        "vis_psum_bytes": vis,
+        "gn_psum_bytes": gn,
+        "out_gather_bytes": out_gather,
+        "collectives_per_step": n_coll,
+        "local_rows": l_tot,
+    }
+
+
 def _spatial_grids(params, cfg, h0, w0, n, dtype):
     """Per-resolution sincos grids padded to the sharded pixel count."""
     from ..models.embeddings import get_2d_sincos_pos_embed, timestep_embedding
