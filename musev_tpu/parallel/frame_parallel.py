@@ -327,6 +327,8 @@ def _build_local_fn(
     refer_read: bool,
     self_attn_mask: Optional[str],
     mask_n_near: int,
+    controlnet_cfgs: Optional[Sequence[Any]] = None,
+    controlnet_scales: Optional[Sequence[float]] = None,
 ):
     starts = meta.block_starts()
     bstarts = meta.batch_starts()
@@ -519,6 +521,28 @@ def _build_local_fn(
             out = blk.attention(p_, tokens, context=kv, heads=heads)
             return out.reshape(x_.shape) + x_
 
+        # ControlNet trunk on local rows: fully frame-local (2-D per-frame
+        # network), so it frame-shards with zero collectives. It consumes
+        # exactly the spliced+scaled rows the UNet gets (the reference feeds
+        # concat([cond, window]) latents, pipeline_controlnet.py:2022-2038 —
+        # identical content to the spliced sample here).
+        if controlnet_cfgs is not None and reps.get("cn_params") is not None:
+            from ..models.controlnet import controlnet_apply
+
+            cn_ts = reps["cn_timestep"]
+            cn_imgs = [cat(f"cn_img{i}") for i in range(len(controlnet_cfgs))]
+            for cp, cc, ci, cs in zip(
+                reps["cn_params"], controlnet_cfgs, cn_imgs, controlnet_scales
+            ):
+                d_i, m_i = controlnet_apply(
+                    cp, cc, x, cn_ts, text_ctx, ci, conditioning_scale=cs
+                )
+                if cn_rows is None:
+                    cn_rows, cn_mid_rows = list(d_i), m_i
+                else:
+                    cn_rows = [a + b for a, b in zip(cn_rows, d_i)]
+                    cn_mid_rows = cn_mid_rows + m_i
+
         ops = UNetOps(
             spatial=spatial_op,
             temporal_conv=temporal_conv_op,
@@ -583,6 +607,7 @@ def unet3d_apply_fp(
     controlnet_down_residuals: Optional[Sequence[jnp.ndarray]] = None,
     controlnet_mid_residual: Optional[jnp.ndarray] = None,
     pose_guider_emb: Optional[jnp.ndarray] = None,
+    controlnet: Optional[Dict[str, Any]] = None,
 ) -> jnp.ndarray:
     """Drop-in ``unet3d_apply`` with frame rows sharded over mesh axis
     ``axis``. Same signature/semantics; requires an ambient mesh.
@@ -590,6 +615,12 @@ def unet3d_apply_fp(
     ``stub_devices``: run the per-device program directly on ONE device with
     ``StubComm`` (bench mode) — output values are then only one shard's worth
     and numerically fake at the collective points; timing-faithful otherwise.
+
+    ``controlnet``: run ControlNet trunk(s) frame-sharded INSIDE the SPMD
+    program (each chip computes residuals for its own rows only) instead of
+    receiving replicated residuals. Dict of ``params``/``cfgs``/``scales``
+    lists, ``images`` (list of (B*T, 8H, 8W, 3) row tensors, window-gathered)
+    and scalar ``timestep``.
     """
     if cfg.adain_fix:
         raise NotImplementedError("frame-parallel: adain_fix not supported")
@@ -661,6 +692,9 @@ def unet3d_apply_fp(
                 if controlnet_mid_residual is not None else None
             ),
         }
+        if controlnet is not None:
+            for i, img in enumerate(controlnet["images"]):
+                gd[f"cn_img{i}"] = _shard_rows(img, g, bs)
         for k, v in ids.items():
             gd[k] = jnp.asarray(v)
         group_rows.append(gd)
@@ -678,6 +712,12 @@ def unet3d_apply_fp(
         reps["mid_refer"] = mid_block_refer_emb
     if cfg.need_spatial_position_emb:
         reps["sp_grids"] = _spatial_grids(params, cfg, h0, w0, n, sample.dtype)
+    cn_cfgs = cn_scales = None
+    if controlnet is not None:
+        reps["cn_params"] = list(controlnet["params"])
+        reps["cn_timestep"] = controlnet["timestep"]
+        cn_cfgs = tuple(controlnet["cfgs"])
+        cn_scales = tuple(controlnet["scales"])
 
     local_fn = _build_local_fn(
         cfg, meta,
@@ -689,6 +729,8 @@ def unet3d_apply_fp(
         refer_read=refer_self_attn_mode == "read",
         self_attn_mask=cfg.temporal_self_attn_mask,
         mask_n_near=cfg.temporal_attn_n_near,
+        controlnet_cfgs=cn_cfgs,
+        controlnet_scales=cn_scales,
     )
 
     if stub_devices is not None:

@@ -232,6 +232,16 @@ def _predict_noise_inner(
     pose_guider_emb = None
     use_cn = controlnet_params is not None and spec.controlnet_cfg is not None
     use_pg = pose_guider_params is not None and spec.pose_guider_cfg is not None
+    unet_fn = unet3d_apply
+    unet_extra = {}
+    fp_active = spec.fp_axis is not None or spec.fp_stub_devices is not None
+    if fp_active:
+        from ..parallel.frame_parallel import unet3d_apply_fp
+
+        unet_fn = unet3d_apply_fp
+        unet_extra = dict(
+            axis=spec.fp_axis or "fp", stub_devices=spec.fp_stub_devices
+        )
     if use_cn or use_pg:
         assert control_images is not None
         # per-window control frames: [viscond maps; window maps]
@@ -265,20 +275,6 @@ def _predict_noise_inner(
             ctrl_frames = [gather_ctrl(ci) for ci in control_images]
         else:
             ctrl_frames = gather_ctrl(control_images)
-        # controlnet consumes the spliced (viscond + window) latents
-        if cond is not None:
-            cn_lat = jnp.concatenate([cond.astype(model_in.dtype), model_in], axis=1)
-        else:
-            cn_lat = model_in
-        nf = cn_lat.shape[1]
-        frames = cn_lat.reshape(-1, *cn_lat.shape[2:])
-        if spec.do_cfg:
-            text_frames = jnp.concatenate([
-                jnp.repeat(jnp.repeat(text_uc, n_win, axis=0), nf, axis=0),
-                jnp.repeat(jnp.repeat(text_c, n_win, axis=0), nf, axis=0),
-            ])
-        else:
-            text_frames = jnp.repeat(jnp.repeat(text_c, n_win, axis=0), nf, axis=0)
         # MultiControlNet: lists of (params, cfg, scale-weighted images) sum
         # their residuals (reference MultiControlNetModel usage)
         cn_list = (
@@ -299,26 +295,44 @@ def _predict_noise_inner(
             if isinstance(spec.controlnet_scale, tuple)
             else (spec.controlnet_scale,) * len(cn_list)
         )
-        cn_down = cn_mid = None
-        for cp, cc, ci, cs in zip(cn_list, cfg_list, img_list, scale_list):
-            d_i, m_i = controlnet_apply(
-                cp, cc, frames, t_step, text_frames, ci,
-                conditioning_scale=cs,
+        if fp_active:
+            # under frame parallelism the (frame-local) ControlNet trunk
+            # runs row-sharded inside the SPMD program — each chip computes
+            # residuals for its own rows only
+            unet_extra["controlnet"] = dict(
+                params=list(cn_list), cfgs=tuple(cfg_list),
+                scales=tuple(float(s) for s in scale_list),
+                images=list(img_list), timestep=t_step,
             )
-            if cn_down is None:
-                cn_down, cn_mid = list(d_i), m_i
+        else:
+            # controlnet consumes the spliced (viscond + window) latents
+            if cond is not None:
+                cn_lat = jnp.concatenate(
+                    [cond.astype(model_in.dtype), model_in], axis=1
+                )
             else:
-                cn_down = [a + b_ for a, b_ in zip(cn_down, d_i)]
-                cn_mid = cn_mid + m_i
-    unet_fn = unet3d_apply
-    unet_extra = {}
-    if spec.fp_axis is not None or spec.fp_stub_devices is not None:
-        from ..parallel.frame_parallel import unet3d_apply_fp
-
-        unet_fn = unet3d_apply_fp
-        unet_extra = dict(
-            axis=spec.fp_axis or "fp", stub_devices=spec.fp_stub_devices
-        )
+                cn_lat = model_in
+            nf = cn_lat.shape[1]
+            frames = cn_lat.reshape(-1, *cn_lat.shape[2:])
+            if spec.do_cfg:
+                text_frames = jnp.concatenate([
+                    jnp.repeat(jnp.repeat(text_uc, n_win, axis=0), nf, axis=0),
+                    jnp.repeat(jnp.repeat(text_c, n_win, axis=0), nf, axis=0),
+                ])
+            else:
+                text_frames = jnp.repeat(
+                    jnp.repeat(text_c, n_win, axis=0), nf, axis=0
+                )
+            for cp, cc, ci, cs in zip(cn_list, cfg_list, img_list, scale_list):
+                d_i, m_i = controlnet_apply(
+                    cp, cc, frames, t_step, text_frames, ci,
+                    conditioning_scale=cs,
+                )
+                if cn_down is None:
+                    cn_down, cn_mid = list(d_i), m_i
+                else:
+                    cn_down = [a + b_ for a, b_ in zip(cn_down, d_i)]
+                    cn_mid = cn_mid + m_i
     out = unet_fn(
         params,
         spec.unet_cfg,

@@ -208,6 +208,43 @@ def test_fp_denoise_loop_stub_mode_runs():
     assert bool(jnp.isfinite(out).all())
 
 
+def test_fp_controlnet_rows_match_replicated():
+    """ControlNet residuals computed row-sharded inside the fp program equal
+    the replicated outside-compute of the base path."""
+    from musev_tpu.models.controlnet import ControlNetConfig, init_controlnet
+    from musev_tpu.pipelines.denoiser import predict_noise
+
+    params, mkspec, (lat, tu, tc, cond) = _denoise_setup()
+    cn_cfg = ControlNetConfig(
+        block_out_channels=(16, 32),
+        cond_embed_channels=(8, 8, 8, 16),
+        layers_per_block=1,
+        cross_attention_dim=16,
+        attention_heads=2,
+        norm_num_groups=4,
+    )
+    cn_params = init_controlnet(jax.random.key(20), cn_cfg)
+    imgs = jax.random.uniform(
+        jax.random.key(21), (1, 1 + 8, 64, 64, 3), jnp.float32
+    )
+    kw = dict(
+        condition_latents=cond, controlnet_params=cn_params,
+        control_images=imgs,
+    )
+    base = predict_noise(
+        params, mkspec(controlnet_cfg=cn_cfg), lat, 0, tu, tc, **kw
+    )
+    mesh = make_mesh((8,), ("fp",))
+    with jax.set_mesh(mesh):
+        fp = predict_noise(
+            params, mkspec(controlnet_cfg=cn_cfg, fp_axis="fp"),
+            lat, 0, tu, tc, **kw,
+        )
+    np.testing.assert_allclose(
+        np.asarray(fp), np.asarray(base), atol=5e-4, rtol=5e-4
+    )
+
+
 def test_fp_requires_mesh():
     cfg = tiny_cfg()
     params = init_unet3d(jax.random.key(9), cfg)
