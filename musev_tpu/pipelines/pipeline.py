@@ -100,12 +100,17 @@ class MusevPipeline:
         scheduler_name: str = "euler",
         dtype=jnp.float32,
         dp_axis: Optional[str] = None,
+        fp_axis: Optional[str] = None,
     ):
         self.m = models
         self.scheduler_config = scheduler_config
         self.scheduler_name = scheduler_name
         self.dtype = dtype
         self.dp_axis = dp_axis
+        # frame parallelism (parallel/frame_parallel.py): shard every
+        # (window, cfg, frame) row of the denoise over this mesh axis —
+        # the flagship multi-chip topology (bench.py --topology fp)
+        self.fp_axis = fp_axis
         self._loras: List[tuple] = []  # (state_dict, scale) fuse log
         self._denoise_jit = jax.jit(
             denoise_loop, static_argnames=("spec",)
@@ -259,6 +264,7 @@ class MusevPipeline:
             motion_speed=motion_speed,
             ip_adapter_scale=ip_adapter_scale,
             dp_axis=self.dp_axis,
+            fp_axis=self.fp_axis,
         )
 
     def generate_condition_latents(

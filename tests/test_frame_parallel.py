@@ -245,6 +245,51 @@ def test_fp_controlnet_rows_match_replicated():
     )
 
 
+def test_fp_pipeline_text2video_matches_base():
+    """End-to-end pipeline parity: MusevPipeline(fp_axis=...) under a mesh
+    produces the same video as the unsharded pipeline."""
+    from musev_tpu.models.clip_text import CLIPTextConfig, init_clip_text
+    from musev_tpu.models.vae import VAEConfig, init_vae
+    from musev_tpu.pipelines.pipeline import MusevModels, MusevPipeline
+    from musev_tpu.utils.tokenizer import HashTokenizer
+
+    unet_cfg = UNet3DConfig(
+        block_out_channels=(16, 32), layers_per_block=1,
+        down_block_types=("CrossAttnDownBlock3D", "DownBlock3D"),
+        up_block_types=("UpBlock3D", "CrossAttnUpBlock3D"),
+        cross_attention_dim=24, attention_heads=4, norm_num_groups=8,
+    )
+    vae_cfg = VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
+                        norm_num_groups=8)
+    text_cfg = CLIPTextConfig(vocab_size=1000, hidden_size=24, num_layers=2,
+                              num_heads=4, intermediate_size=48)
+    k = jax.random.PRNGKey(0)
+    models = MusevModels(
+        unet_params=init_unet3d(jax.random.fold_in(k, 0), unet_cfg),
+        unet_cfg=unet_cfg,
+        vae_params=init_vae(jax.random.fold_in(k, 1), vae_cfg),
+        vae_cfg=vae_cfg,
+        text_params=init_clip_text(jax.random.fold_in(k, 2), text_cfg),
+        text_cfg=text_cfg,
+        tokenizer=HashTokenizer(vocab_size=1000),
+    )
+    cond = (np.random.RandomState(0).rand(1, 1, 16, 16, 3) * 255).astype(
+        np.uint8
+    )
+    kwargs = dict(
+        height=16, width=16, video_length=4, n_batch=1,
+        video_num_inference_steps=2, num_inference_steps=2,
+        context_frames=4, context_overlap=1, condition_images=cond, seed=3,
+    )
+    base = MusevPipeline(models).text2video("a girl", "bad", **kwargs)
+    mesh = make_mesh((8,), ("fp",))
+    with jax.set_mesh(mesh):
+        fp = MusevPipeline(models, fp_axis="fp").text2video(
+            "a girl", "bad", **kwargs
+        )
+    np.testing.assert_allclose(fp.videos, base.videos, atol=2e-3, rtol=2e-3)
+
+
 def test_fp_requires_mesh():
     cfg = tiny_cfg()
     params = init_unet3d(jax.random.key(9), cfg)
