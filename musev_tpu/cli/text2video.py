@@ -78,6 +78,12 @@ def parse_args(argv=None):
                    choices=["float32", "bfloat16"])
     p.add_argument("--tiny", action="store_true",
                    help="tiny random-weight model (smoke tests, no checkpoints)")
+    p.add_argument("--parallel", type=str, default="none",
+                   choices=["none", "fp", "dp"],
+                   help="multi-chip topology over all local devices: fp "
+                        "shards every (window, cfg, frame) denoise row "
+                        "(flagship, parallel/frame_parallel.py); dp shards "
+                        "the window x CFG batch")
     return p.parse_args(argv)
 
 
@@ -154,8 +160,13 @@ def main(argv=None):
     if args.tiny:
         preset = _shrink_preset(preset)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    from ..parallel.mesh import cli_topology
+
+    mesh_ctx, par_kwargs = cli_topology(args.parallel)
     models = build_models(preset, dtype=dtype)
-    pipe = MusevPipeline(models, scheduler_name=scheduler, dtype=dtype)
+    pipe = MusevPipeline(
+        models, scheduler_name=scheduler, dtype=dtype, **par_kwargs
+    )
 
     from ..autoprompt import generate_prompts
 
@@ -163,6 +174,7 @@ def main(argv=None):
     wanted = None if args.target_datas == "all" else set(args.target_datas.split(","))
     os.makedirs(args.output_dir, exist_ok=True)
 
+    mesh_ctx.__enter__()
     for task in tasks:
         name = task.get("name", "task")
         if wanted is not None and name not in wanted:
@@ -237,6 +249,7 @@ def main(argv=None):
                 Image.fromarray(f).save(f"{base}/{i:05d}.png")
             out_path = base
         print(f"wrote {out_path} ({frames.shape[0]} frames)")
+    mesh_ctx.__exit__(None, None, None)
 
 
 if __name__ == "__main__":

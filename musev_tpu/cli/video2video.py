@@ -80,6 +80,12 @@ def parse_args(argv=None):
     p.add_argument("--scheduler", type=str, default="euler")
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--dtype", type=str, default="float32")
+    p.add_argument("--parallel", type=str, default="none",
+                   choices=["none", "fp", "dp"],
+                   help="multi-chip topology over all local devices: fp "
+                        "shards every (window, cfg, frame) denoise row "
+                        "(flagship, parallel/frame_parallel.py); dp shards "
+                        "the window x CFG batch")
     return p.parse_args(argv)
 
 
@@ -105,8 +111,14 @@ def main(argv=None):
         lcm_lora_checkpoint=args.lcm_lora_path,
     )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    from ..parallel.mesh import cli_topology
+
+    mesh_ctx, par_kwargs = cli_topology(args.parallel)
     models = build_models(preset, dtype=dtype)
-    pipe = MusevPipeline(models, scheduler_name=scheduler, dtype=dtype)
+    pipe = MusevPipeline(
+        models, scheduler_name=scheduler, dtype=dtype, **par_kwargs
+    )
+    mesh_ctx.__enter__()
 
     for spec in args.processor_onnx or []:
         if "=" not in spec:
@@ -223,6 +235,7 @@ def main(argv=None):
                 Image.fromarray(f).save(f"{base}/{i:05d}.png")
             out_path = base
         print(f"wrote {out_path} ({frames_out.shape[0]} frames)")
+    mesh_ctx.__exit__(None, None, None)
 
 
 if __name__ == "__main__":

@@ -38,3 +38,20 @@ def batch_sharding(mesh: Mesh, ndim: int, axis: str = "dp") -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def cli_topology(topology: str):
+    """CLI helper: ``none``/``fp``/``dp`` -> (mesh context manager, pipeline
+    kwargs). ``fp`` shards every (window, cfg, frame) row of the denoise
+    (parallel/frame_parallel.py — the flagship multi-chip topology); ``dp``
+    shards the window x CFG batch. Falls back to no mesh on one device."""
+    import contextlib
+
+    if topology not in ("none", "fp", "dp"):
+        raise ValueError(f"unknown parallel topology {topology!r}")
+    devices = jax.devices()
+    if topology == "none" or len(devices) < 2:
+        return contextlib.nullcontext(), {}
+    axis = topology
+    mesh = make_mesh((len(devices),), (axis,))
+    return jax.set_mesh(mesh), {f"{axis}_axis": axis}

@@ -290,6 +290,29 @@ def test_fp_pipeline_text2video_matches_base():
     np.testing.assert_allclose(fp.videos, base.videos, atol=2e-3, rtol=2e-3)
 
 
+def test_fp_cli_text2video(tmp_path):
+    """CLI --parallel fp: tiny model, full main() on the 8-device mesh."""
+    import yaml
+
+    from musev_tpu.cli.text2video import main as t2v_main
+
+    task_file = tmp_path / "tasks.yaml"
+    task_file.write_text(yaml.safe_dump(
+        [{"name": "t0", "prompt": "a girl", "height": 16, "width": 16}]
+    ))
+    out_dir = tmp_path / "out"
+    t2v_main([
+        "--test_data_path", str(task_file),
+        "--output_dir", str(out_dir),
+        "--tiny", "--parallel", "fp",
+        "--time_size", "4", "--context_frames", "4", "--context_overlap", "1",
+        "--video_num_inference_steps", "2", "--num_inference_steps", "2",
+        "--height", "16", "--width", "16",
+    ])
+    outs = list(out_dir.iterdir())
+    assert outs, "CLI produced no output"
+
+
 def test_fp_requires_mesh():
     cfg = tiny_cfg()
     params = init_unet3d(jax.random.key(9), cfg)
