@@ -31,6 +31,13 @@ class TrainSpec:
     w_ind_noise: float = 0.5
     n_vision_cond: int = 1
     grad_checkpoint: bool = True
+    # frame-parallel training: shard the (batch, frame) rows of the UNet
+    # over this mesh axis (parallel/frame_parallel.py — shard_map is
+    # differentiable, so gradients flow back through the halo/pivot/psum
+    # collectives and XLA all-reduces the replicated-param cotangents).
+    # Activation memory scales 1/n: long videos that cannot fit one chip's
+    # HBM train by adding chips instead of shrinking T.
+    fp_axis: Optional[str] = None
 
 
 def diffusion_loss(
@@ -58,8 +65,15 @@ def diffusion_loss(
     noisy = jnp.sqrt(a) * gen.astype(jnp.float32) + jnp.sqrt(1.0 - a) * noise
     noisy = noisy.astype(latents.dtype)
 
+    if spec.fp_axis is not None:
+        from .parallel.frame_parallel import unet3d_apply_fp
+
+        unet_fn = partial(unet3d_apply_fp, axis=spec.fp_axis)
+    else:
+        unet_fn = unet3d_apply
+
     def apply_fn(p, noisy_, ts_, text_, cond_):
-        return unet3d_apply(
+        return unet_fn(
             p,
             spec.unet_cfg,
             noisy_,

@@ -313,6 +313,40 @@ def test_fp_cli_text2video(tmp_path):
     assert outs, "CLI produced no output"
 
 
+def test_fp_train_grads_match_base():
+    """Frame-parallel TRAINING: gradients through the shard_map collectives
+    (halo ppermutes, pixel all_to_alls, stats/vis psums) equal the unsharded
+    gradients — shard_map AD + replicated-param cotangent all-reduce."""
+    from musev_tpu.train import TrainSpec, diffusion_loss
+
+    cfg = tiny_cfg()
+    params = init_unet3d(jax.random.key(30), cfg)
+    latents = jax.random.normal(jax.random.key(31), (2, 5, 8, 8, 4), jnp.float32)
+    text = jax.random.normal(jax.random.key(32), (2, 7, 16), jnp.float32)
+    key = jax.random.key(33)
+
+    base_spec = TrainSpec(unet_cfg=cfg, n_vision_cond=1, grad_checkpoint=False)
+    loss_b, grads_b = jax.value_and_grad(diffusion_loss)(
+        params, base_spec, latents, text, key
+    )
+    fp_spec = TrainSpec(
+        unet_cfg=cfg, n_vision_cond=1, grad_checkpoint=False, fp_axis="fp"
+    )
+    mesh = make_mesh((8,), ("fp",))
+    with jax.set_mesh(mesh):
+        loss_f, grads_f = jax.value_and_grad(diffusion_loss)(
+            params, fp_spec, latents, text, key
+        )
+    np.testing.assert_allclose(float(loss_f), float(loss_b), rtol=1e-4)
+    flat_b = jax.tree_util.tree_leaves_with_path(grads_b)
+    flat_f = jax.tree_util.tree_leaves(grads_f)
+    for (path, gb), gf in zip(flat_b, flat_f):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gb), atol=5e-4, rtol=5e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_fp_requires_mesh():
     cfg = tiny_cfg()
     params = init_unet3d(jax.random.key(9), cfg)
