@@ -8,9 +8,17 @@ onnxruntime/mm* CUDA stacks). Here processors are plain callables
   * ``none`` — pass-through (``video_is_middle=True`` flows)
   * ``canny`` — full native implementation (numpy separable gaussian +
     Sobel + NMS + hysteresis), the classic controlnet edge input
-  * ``dwpose*`` etc. — pluggable: users register a callable wrapping their
-    pose model (the reference's dwpose runs on onnxruntime, unavailable
-    here); unregistered names raise with a clear message.
+  * ``tile`` / ``content`` — native low-pass / content-shuffle maps
+  * ``depth``/``zoe``/``leres``, ``hed``/``pidi``/``softedge``,
+    ``hed_scribble``, ``lineart``/``lineart_anime``, ``normal_bae`` —
+    ONNX-backed kinds on the first-party executor
+    (``register_onnx_processor``)
+  * ``dwpose*`` / ``pose*`` — first-party dwpose given the two .onnx files
+    (``musev_tpu.io.dwpose.register_dwpose``)
+
+Of the reference's 26 names, only ``sam``/``mobile_sam`` (promptable
+segmentation) and ``face_detector`` stay external — register a callable via
+``register_processor``; unregistered names raise with a clear message.
 """
 
 from __future__ import annotations
@@ -150,6 +158,11 @@ _ONNX_KIND_DEFAULTS = {
     # white-on-black (controlnet_aux LineartDetector)
     "lineart": dict(mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0),
                     post="invert", input_size=None),
+    # surface-normal nets (controlnet_aux NormalBaeDetector): imagenet-
+    # normalized input, 3-channel normal-vector output rendered as the
+    # standard ((n/|n|)+1)/2 RGB normal map
+    "normal": dict(mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+                   post="normal", input_size=384),
 }
 
 
@@ -209,6 +222,17 @@ class OnnxImageProcessor:
         from PIL import Image
 
         y = np.asarray(y, np.float32)
+        if self.post == "normal":
+            while y.ndim > 3:  # (1, 3, H', W') -> (3, H', W')
+                y = y[0]
+            n = y / np.maximum(
+                np.linalg.norm(y, axis=0, keepdims=True), 1e-6
+            )
+            rgb = ((n + 1.0) * 0.5 * 255.0).astype(np.uint8)
+            rgb = rgb.transpose(1, 2, 0)
+            if rgb.shape[:2] != (h, w):
+                rgb = np.asarray(Image.fromarray(rgb).resize((w, h)))
+            return rgb
         while y.ndim > 2:  # (1, [1,] H', W') -> (H', W')
             y = y[0] if y.shape[0] == 1 else y.mean(axis=0)
         if self.post == "minmax":
@@ -241,6 +265,7 @@ _NAME_TO_KIND = {
     "hed": "hed", "softedge": "hed", "pidi": "hed",
     "hed_scribble": "scribble", "scribble": "scribble",
     "lineart": "lineart", "lineart_anime": "lineart",
+    "normal_bae": "normal", "normal": "normal",
 }
 
 
@@ -263,4 +288,58 @@ def register_onnx_processor(name: str, onnx_path: str, kind: str = None,
     register_processor(name, OnnxImageProcessor(model, kind, **kwargs))
 
 
+def _smooth_noise(h: int, w: int, cell: int, rng: np.random.RandomState):
+    """Smooth [0,1] noise field: coarse uniform noise bicubically upsampled
+    (the controlnet_aux make_noise_disk construction behind the 'content'
+    shuffle processor)."""
+    from PIL import Image
+
+    coarse = rng.uniform(size=((h // cell) + 2, (w // cell) + 2)).astype(
+        np.float32
+    )
+    img = Image.fromarray(coarse, mode="F").resize(
+        (w + 2 * cell, h + 2 * cell), Image.BICUBIC
+    )
+    n = np.asarray(img, np.float32)[cell : cell + h, cell : cell + w]
+    lo, hi = float(n.min()), float(n.max())
+    return (n - lo) / (hi - lo) if hi > lo else np.zeros_like(n)
+
+
+def _bilinear_sample(img: np.ndarray, ys: np.ndarray, xs: np.ndarray):
+    h, w = img.shape[:2]
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0)[..., None]
+    fx = (xs - x0)[..., None]
+    a = img[y0, x0].astype(np.float32)
+    b = img[y0, x1].astype(np.float32)
+    c = img[y1, x0].astype(np.float32)
+    d = img[y1, x1].astype(np.float32)
+    return a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx + c * fy * (1 - fx) + d * fy * fx
+
+
+def content_shuffle_video(
+    frames: np.ndarray, cell: int = 256, seed: int = 0
+) -> np.ndarray:
+    """'content' controlnet conditioning (controlnet_aux
+    ContentShuffleDetector; mmcm controlnet.py:513 name 'content'): remap
+    every pixel through a smooth random absolute-coordinate field, keeping
+    color/content statistics while destroying structure. One flow field is
+    shared across the clip (per-frame reshuffling would flicker the
+    conditioning; the reference processes stills)."""
+    frames = np.asarray(frames)
+    t, h, w = frames.shape[:3]
+    rng = np.random.RandomState(seed)
+    xs = _smooth_noise(h, w, min(cell, max(h, w)), rng) * float(w - 1)
+    ys = _smooth_noise(h, w, min(cell, max(h, w)), rng) * float(h - 1)
+    out = [
+        np.clip(_bilinear_sample(f, ys, xs), 0, 255).astype(np.uint8)
+        for f in frames
+    ]
+    return np.stack(out)
+
+
 register_processor("tile", tile_video)
+register_processor("content", content_shuffle_video)

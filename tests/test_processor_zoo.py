@@ -115,6 +115,56 @@ def test_tile_blur():
     assert abs(out.mean() - FRAMES.astype(np.float32).mean()) < 8.0
 
 
+def test_content_shuffle():
+    from musev_tpu.io.processors import content_shuffle_video
+
+    out = content_shuffle_video(FRAMES, seed=3)
+    assert out.shape == FRAMES.shape and out.dtype == np.uint8
+    # deterministic under a fixed seed
+    np.testing.assert_array_equal(out, content_shuffle_video(FRAMES, seed=3))
+    # one flow shared across the clip: identical frames map identically
+    same = np.stack([FRAMES[0], FRAMES[0]])
+    o = content_shuffle_video(same, seed=1)
+    np.testing.assert_array_equal(o[0], o[1])
+    # content preserved, structure destroyed: mean close, layout changed
+    assert abs(out.mean() - FRAMES.astype(np.float32).mean()) < 16.0
+    assert np.abs(out.astype(np.int32) - FRAMES.astype(np.int32)).mean() > 1.0
+
+
+def test_normal_bae_kind():
+    """3-channel ONNX output rendered as a unit-normal RGB map."""
+
+    class Identity3:
+        input_names = ["x"]
+
+        def run(self, feeds):
+            return [feeds["x"]]
+
+    proc = OnnxImageProcessor(Identity3(), "normal", input_size=None,
+                              multiple_of=8)
+    out = proc(FRAMES)
+    assert out.shape == FRAMES.shape and out.dtype == np.uint8
+    # golden for frame 0: imagenet-normalize, unit-normalize, (n+1)/2
+    f = FRAMES[0].astype(np.float32) / 255.0
+    x = (f - np.array([0.485, 0.456, 0.406], np.float32)) / np.array(
+        [0.229, 0.224, 0.225], np.float32
+    )
+    v = x.transpose(2, 0, 1)
+    n = v / np.maximum(np.linalg.norm(v, axis=0, keepdims=True), 1e-6)
+    expect = ((n + 1.0) * 0.5 * 255.0).astype(np.uint8).transpose(1, 2, 0)
+    np.testing.assert_array_equal(out[0], expect)
+
+    from musev_tpu.io.processors import _NAME_TO_KIND
+
+    assert _NAME_TO_KIND["normal_bae"] == "normal"
+
+
+def test_content_registered():
+    from musev_tpu.io.processors import _REGISTRY
+
+    assert "content" in _REGISTRY
+
+
 def test_pose_family_variants_registered():
     from musev_tpu.io.dwpose import _DWPOSE_VARIANTS
 
