@@ -50,6 +50,15 @@ def parse_args(argv=None):
     p.add_argument("--dwpose_pose_onnx", type=str,
                    default=os.environ.get("MUSEV_DWPOSE_POSE"),
                    help="rtmpose whole-body onnx for the dwpose stage")
+    p.add_argument("--sam_encoder_onnx", type=str,
+                   default=os.environ.get("MUSEV_SAM_ENCODER"),
+                   help="SAM image-encoder onnx for sam/mobile_sam")
+    p.add_argument("--sam_decoder_onnx", type=str,
+                   default=os.environ.get("MUSEV_SAM_DECODER"),
+                   help="SAM mask-decoder onnx for sam/mobile_sam")
+    p.add_argument("--face_detector_onnx", type=str,
+                   default=os.environ.get("MUSEV_FACE_DET"),
+                   help="yolox-format face detector onnx for face_detector")
     p.add_argument("--lora_path", action="append", default=None,
                    help="LoRA safetensors, repeatable; 'path' or 'path:scale'")
     p.add_argument("--textual_inversion", action="append", default=None,
@@ -137,6 +146,27 @@ def main(argv=None):
                 "--controlnet_name dwpose*/pose* needs --dwpose_det_onnx "
                 "(yolox) and --dwpose_pose_onnx (rtmpose wholebody) onnx "
                 "files, or MUSEV_DWPOSE_DET/MUSEV_DWPOSE_POSE env vars"
+            )
+    elif args.controlnet_name in ("sam", "mobile_sam"):
+        if args.sam_encoder_onnx and args.sam_decoder_onnx:
+            from ..io.sam import register_sam
+
+            register_sam(args.sam_encoder_onnx, args.sam_decoder_onnx)
+        else:
+            raise SystemExit(
+                "--controlnet_name sam/mobile_sam needs --sam_encoder_onnx "
+                "and --sam_decoder_onnx (segment-anything ONNX export), or "
+                "MUSEV_SAM_ENCODER/MUSEV_SAM_DECODER env vars"
+            )
+    elif args.controlnet_name == "face_detector":
+        if args.face_detector_onnx:
+            from ..io.sam import register_face_detector
+
+            register_face_detector(args.face_detector_onnx)
+        else:
+            raise SystemExit(
+                "--controlnet_name face_detector needs --face_detector_onnx "
+                "(yolox-format detector), or the MUSEV_FACE_DET env var"
             )
 
     tasks = load_tasks(args.test_data_path)

@@ -91,8 +91,14 @@ def detect_persons(
     input_size: Tuple[int, int] = (640, 640),
     score_thr: float = 0.3,
     iou_thr: float = 0.45,
+    class_index: int = 0,
 ) -> np.ndarray:
-    """(H, W, 3) uint8 RGB -> (N, 4) xyxy person boxes in frame coords."""
+    """(H, W, 3) uint8 RGB -> (N, 4) xyxy person boxes in frame coords.
+
+    ``class_index`` selects the detector class column (0 = person for the
+    yolox_l dwpose detector; face-detector checkpoints reuse this decode
+    with their own class layout — see io/sam.py:FaceDetectorProcessor).
+    """
     img, ratio = letterbox(frame[..., ::-1], input_size)  # yolox eats BGR
     inp = img.astype(np.float32).transpose(2, 0, 1)[None]
     (raw,) = det_model.run({det_model.input_names[0]: inp})
@@ -103,7 +109,7 @@ def detect_persons(
     boxes_xywh = dec[:, :4]
     obj = dec[:, 4:5]
     cls = dec[:, 5:]
-    scores = (obj * cls)[:, 0]  # class 0 = person
+    scores = (obj * cls)[:, class_index]
     mask = scores > score_thr
     if not mask.any():
         return np.zeros((0, 4), np.float32)

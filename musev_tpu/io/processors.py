@@ -15,9 +15,13 @@ onnxruntime/mm* CUDA stacks). Here processors are plain callables
     (``register_onnx_processor``)
   * ``dwpose*`` / ``pose*`` — first-party dwpose given the two .onnx files
     (``musev_tpu.io.dwpose.register_dwpose``)
+  * ``sam``/``mobile_sam`` — first-party SAM automatic mask generation
+    given the encoder/decoder .onnx pair (``musev_tpu.io.sam.register_sam``)
+  * ``face_detector`` — detector-box condition maps
+    (``musev_tpu.io.sam.register_face_detector``)
 
-Of the reference's 26 names, only ``sam``/``mobile_sam`` (promptable
-segmentation) and ``face_detector`` stay external — register a callable via
+That covers all 26 reference names (model weights stay external artifacts,
+as in the reference). Custom stages register a callable via
 ``register_processor``; unregistered names raise with a clear message.
 """
 

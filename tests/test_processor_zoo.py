@@ -177,3 +177,166 @@ def test_pose_family_variants_registered():
     assert _DWPOSE_VARIANTS["pose_hand_face"] == dict(
         include_body=False, include_hand=True, include_face=True
     )
+
+
+# -- SAM automatic masks + face_detector (io/sam.py) -------------------------
+
+
+class _FakeSamEncoder:
+    """Records the preprocessed input; returns a tiny 'embedding'."""
+
+    input_names = ["x"]
+
+    def __init__(self, size=64):
+        self.size = size
+        self.last = None
+
+    def run(self, feeds):
+        x = feeds["x"]
+        self.last = x
+        assert x.shape == (1, 3, self.size, self.size)
+        return [np.zeros((1, 256, self.size // 16, self.size // 16), np.float32)]
+
+
+class _FakeSamDecoder:
+    """Disk of logits around the prompt point, scaled to orig size.
+
+    Points in the left half get high predicted IoU; right half low (to
+    exercise the pred_iou filter). A point in the top-left corner yields an
+    unstable ring (to exercise the stability filter).
+    """
+
+    input_names = [
+        "image_embeddings", "point_coords", "point_labels", "mask_input",
+        "has_mask_input", "orig_im_size",
+    ]
+
+    def __init__(self, enc_size=64):
+        self.enc_size = enc_size
+
+    def run(self, feeds):
+        px, py = feeds["point_coords"][0, 0]
+        h, w = feeds["orig_im_size"].astype(int)
+        scale = max(h, w) / self.enc_size
+        cx, cy = px * scale, py * scale
+        ys, xs = np.mgrid[:h, :w].astype(np.float32)
+        r = np.hypot(xs - cx, ys - cy)
+        if px < 4 and py < 4:
+            # unstable: logits hug the threshold so +/-1 moves the area a lot
+            logits = 0.9 - 0.05 * r
+            iou = 0.99
+        else:
+            logits = 50.0 * (8.0 - r)  # crisp disk of radius 8
+            iou = 0.95 if px < self.enc_size / 2 else 0.2
+        return [logits[None, None], np.array([[iou]], np.float32), logits]
+
+
+def test_sam_automatic_masks():
+    from musev_tpu.io.sam import SamAutomaticMaskProcessor
+
+    enc = _FakeSamEncoder()
+    proc = SamAutomaticMaskProcessor(
+        enc, _FakeSamDecoder(), encoder_size=64, points_per_side=4,
+        min_mask_area=4, seed=7,
+    )
+    frames = (np.random.RandomState(2).rand(2, 48, 64, 3) * 255).astype(np.uint8)
+    out = proc(frames)
+    assert out.shape == frames.shape and out.dtype == np.uint8
+    # left-half points (iou 0.95) painted; right-half (iou 0.2) filtered:
+    # some color on the left, black on the far right
+    assert out[0, :, :24].any()
+    assert not out[0, :, 56:].any()
+    # deterministic palette: identical frames -> identical maps
+    np.testing.assert_array_equal(out[0], out[1])
+    # encoder saw an ImageNet-normalized, bottom-right padded input
+    assert enc.last is not None and enc.last.dtype == np.float32
+
+
+def test_sam_filters_and_preprocess():
+    from musev_tpu.io.sam import (
+        SamAutomaticMaskProcessor, build_point_grid, sam_preprocess,
+        stability_score,
+    )
+
+    # stability: crisp step -> 1.0; shallow slope -> < 1
+    crisp = np.where(np.arange(100) < 50, 10.0, -10.0)
+    assert stability_score(crisp, 0.0, 1.0) == 1.0
+    shallow = 1.0 - 0.02 * np.arange(100)
+    assert stability_score(shallow, 0.0, 1.0) < 0.95
+
+    # preprocess: long side -> encoder_size, pad to square, (h, w) returned
+    frame = (np.random.RandomState(0).rand(30, 60, 3) * 255).astype(np.uint8)
+    inp, (nh, nw) = sam_preprocess(frame, 64)
+    assert inp.shape == (1, 3, 64, 64) and (nh, nw) == (32, 64)
+    assert np.abs(inp[0, :, nh:, :]).max() == 0  # pad region zero
+
+    # grid covers the un-padded region only
+    grid = build_point_grid(4, (32, 64))
+    assert grid.shape == (16, 2)
+    assert grid[:, 0].max() < 64 and grid[:, 1].max() < 32
+
+    # unknown decoder input names raise with the contract message
+    class BadDecoder(_FakeSamDecoder):
+        input_names = ["image_embeddings", "mystery"]
+
+    proc = SamAutomaticMaskProcessor(
+        _FakeSamEncoder(), BadDecoder(), encoder_size=64, points_per_side=2
+    )
+    with pytest.raises(ValueError, match="unrecognized inputs"):
+        proc(np.zeros((1, 16, 16, 3), np.uint8))
+
+
+def test_face_detector_boxes():
+    from musev_tpu.io.sam import FaceDetectorProcessor
+
+    class FakeDet:
+        """yolox-format raw head: one confident box at image center."""
+
+        input_names = ["images"]
+
+        def run(self, feeds):
+            x = feeds["images"]
+            assert x.shape == (1, 3, 64, 64)
+            n = (64 // 8) ** 2 + (64 // 16) ** 2 + (64 // 32) ** 2
+            raw = np.zeros((1, n, 6), np.float32)
+            # stride-8 grid cell (4, 4) -> center (32+dx, 32+dy)
+            idx = 4 * 8 + 4
+            raw[0, idx] = [0.0, 0.0, np.log(2.0), np.log(2.0), 0.9, 0.9]
+            return [raw]
+
+    proc = FaceDetectorProcessor(FakeDet(), input_size=(64, 64))
+    frames = np.zeros((1, 64, 64, 3), np.uint8)
+    out = proc(frames)
+    assert out.shape == frames.shape
+    # a filled white box: center (4*8, 4*8)=(32, 32), wh=exp(log 2)*8=16
+    assert (out[0, 24:40, 24:40] == 255).all()
+    assert not out[0, :16, :16].any()
+    assert not out[0, 48:, 48:].any()
+
+
+def test_sam_face_registration():
+    """All 26 reference names resolve given registered models."""
+    from musev_tpu.io.processors import _REGISTRY, register_processor
+    from musev_tpu.io.dwpose import _DWPOSE_VARIANTS
+    from musev_tpu.io.sam import FaceDetectorProcessor, SamAutomaticMaskProcessor
+
+    sam = SamAutomaticMaskProcessor(_FakeSamEncoder(), _FakeSamDecoder())
+    for name in ("sam", "mobile_sam"):
+        register_processor(name, sam)
+    register_processor("face_detector", FaceDetectorProcessor(None))
+    reference_names = [
+        "pose", "pose_body", "pose_hand", "pose_face", "pose_hand_body",
+        "pose_hand_face", "dwpose", "dwpose_face", "dwpose_hand",
+        "dwpose_body", "dwpose_body_hand", "canny", "tile", "hed",
+        "hed_scribble", "depth", "pidi", "normal_bae", "lineart",
+        "lineart_anime", "zoe", "sam", "mobile_sam", "leres", "content",
+        "face_detector",
+    ]  # mmcm controlnet.py:513 via README.md:403-406
+    from musev_tpu.io.processors import _NAME_TO_KIND
+
+    for name in reference_names:
+        assert (
+            name in _REGISTRY
+            or name in _DWPOSE_VARIANTS
+            or name in _NAME_TO_KIND
+        ), name
