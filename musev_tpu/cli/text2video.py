@@ -67,6 +67,14 @@ def parse_args(argv=None):
                    help="LCM-LoRA to fuse; implies --lcm")
     p.add_argument("--lcm", action="store_true",
                    help="use the LCM scheduler (with --lcm_lora_path fused)")
+    p.add_argument("--face_det_onnx", type=str, default=None,
+                   help="SCRFD face-detector .onnx for IPAdapterFaceID "
+                        "face_emb extraction (io/face_emb.py)")
+    p.add_argument("--face_rec_onnx", type=str, default=None,
+                   help="arcface recognition .onnx (insightface contract)")
+    p.add_argument("--face_emb_norm", action="store_true",
+                   help="L2-normalize the face embedding "
+                        "(InsightFaceExtractorNormEmb variant)")
     p.add_argument("--need_hist_match", action="store_true")
     p.add_argument("--redraw_condition_image", action="store_true",
                    help="img2img the condition image before conditioning "
@@ -168,6 +176,14 @@ def main(argv=None):
         models, scheduler_name=scheduler, dtype=dtype, **par_kwargs
     )
 
+    face_extractor = None
+    if args.face_det_onnx and args.face_rec_onnx:
+        from ..io.face_emb import build_face_emb_extractor
+
+        face_extractor = build_face_emb_extractor(
+            args.face_det_onnx, args.face_rec_onnx, norm=args.face_emb_norm
+        )
+
     from ..autoprompt import generate_prompts
 
     tasks = generate_prompts(load_tasks(args.test_data_path))
@@ -194,6 +210,25 @@ def main(argv=None):
         refer = _load_image(refer_path, height, width)[:, 0] if refer_path else None
         ip_path = task.get("ipadapter_image")
         ip_img = _load_image(ip_path, height, width)[:, 0] if ip_path else None
+
+        # IPAdapterFaceID: extract the insightface-style identity embedding
+        # from the face image (per-task refer_face_image key, else the
+        # refer/ip/condition image — reference text2video.py:931-971)
+        face_emb = None
+        if face_extractor is not None and models.ip_face_proj_params is not None:
+            face_path = task.get("refer_face_image")
+            if face_path:
+                face_src = _load_image(face_path, height, width)[:, 0]
+            elif ip_img is not None:
+                face_src = ip_img
+            elif refer is not None:
+                face_src = refer
+            elif cond is not None:
+                face_src = np.asarray(cond)[:, 0]
+            else:
+                face_src = None
+            if face_src is not None:
+                face_emb = face_extractor(face_src.astype(np.uint8))
 
         sig = hashlib.md5(prompt.encode()).hexdigest()[:4]
         out_name = (
@@ -233,6 +268,7 @@ def main(argv=None):
             seed=seed,
             refer_image=refer,
             ip_adapter_image=ip_img,
+            face_emb=face_emb,
             need_hist_match=args.need_hist_match,
             redraw_condition_image=args.redraw_condition_image,
             redraw_strength=args.redraw_strength,

@@ -191,7 +191,9 @@ def build_models(
         face_proj = init_mlp_proj(
             jax.random.fold_in(key, 7),
             id_dim=preset.ip_adapter_face_id_dim,
-            cross_dim=preset.unet_cfg.cross_attention_dim,
+            # must match the dim the unet's to_k/v_ip_face consume
+            # (unet_blocks.init_attention ip_face_kv_dim)
+            cross_dim=preset.unet_cfg.ip_adapter_face_dim,
             num_tokens=preset.ip_adapter_tokens,
             dtype=dtype,
         )
