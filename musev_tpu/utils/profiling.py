@@ -69,3 +69,52 @@ def trace(log_dir: Optional[str] = None):
     finally:
         jax.profiler.stop_trace()
         logger.info("wrote profiler trace to %s", log_dir)
+
+
+def device_status() -> list:
+    """Per-device memory/utilization snapshot — the TPU counterpart of mmcm
+    ``get_gpu_status`` (imported by the reference at
+    temporal_transformer.py:35 for debug logging; SURVEY §2.9).
+
+    Returns a list of dicts (one per local device) with whatever the
+    platform exposes: HBM ``bytes_in_use``/``bytes_limit`` on TPU, process
+    memory on CPU backends (which report no memory_stats).
+    """
+    out = []
+    for d in jax.local_devices():
+        entry = {
+            "id": d.id,
+            "platform": d.platform,
+            "device_kind": d.device_kind,
+        }
+        stats = None
+        try:
+            stats = d.memory_stats()
+        except Exception:  # CPU/older backends: not implemented
+            stats = None
+        if stats:
+            entry["bytes_in_use"] = int(stats.get("bytes_in_use", 0))
+            limit = stats.get("bytes_limit") or stats.get(
+                "bytes_reservable_limit"
+            )
+            if limit:
+                entry["bytes_limit"] = int(limit)
+                entry["utilization"] = entry["bytes_in_use"] / int(limit)
+        out.append(entry)
+    return out
+
+
+def log_device_status(prefix: str = "") -> None:
+    for e in device_status():
+        if "bytes_in_use" in e:
+            used = e["bytes_in_use"] / 2**30
+            lim = e.get("bytes_limit", 0) / 2**30
+            logger.info(
+                "%sdevice %d (%s): %.2f/%.2f GiB HBM in use",
+                prefix, e["id"], e["device_kind"], used, lim,
+            )
+        else:
+            logger.info(
+                "%sdevice %d (%s): no memory stats", prefix, e["id"],
+                e["device_kind"],
+            )

@@ -81,3 +81,19 @@ def test_phase_timers():
     assert t.counts["a"] == 2
     assert "a" in t.report()
     assert "a" in t.as_json()
+
+
+def test_device_status():
+    """TPU counterpart of mmcm get_gpu_status (SURVEY §2.9; imported at
+    reference temporal_transformer.py:35)."""
+    import jax
+
+    from musev_tpu.utils.profiling import device_status, log_device_status
+
+    s = device_status()
+    assert len(s) == len(jax.local_devices())
+    for e in s:
+        assert {"id", "platform", "device_kind"} <= set(e)
+        if "bytes_in_use" in e:
+            assert e["bytes_in_use"] >= 0
+    log_device_status()  # must not raise on backends without memory stats
