@@ -33,6 +33,13 @@ def parse_args(argv=None):
     p.add_argument("--vae_checkpoint", type=str, default=None)
     p.add_argument("--text_checkpoint", type=str, default=None)
     p.add_argument("--tokenizer_path", type=str, default=None)
+    p.add_argument("--referencenet_checkpoint", type=str, default=None)
+    p.add_argument("--clip_vision_checkpoint", type=str, default=None,
+                   help="IP-Adapter image encoder (transformers "
+                        "CLIPVisionModelWithProjection weights)")
+    p.add_argument("--ip_adapter_checkpoint", type=str, default=None)
+    p.add_argument("--ip_adapter_face_checkpoint", type=str, default=None)
+    p.add_argument("--controlnet_checkpoint", type=str, default=None)
     p.add_argument("--time_size", type=int, default=12)
     p.add_argument("--n_batch", type=int, default=1)
     p.add_argument("--fps", type=int, default=12)
@@ -161,6 +168,11 @@ def main(argv=None):
         vae_checkpoint=args.vae_checkpoint,
         text_checkpoint=args.text_checkpoint,
         tokenizer_path=args.tokenizer_path,
+        referencenet_checkpoint=args.referencenet_checkpoint,
+        clip_vision_checkpoint=args.clip_vision_checkpoint,
+        ip_adapter_checkpoint=args.ip_adapter_checkpoint,
+        ip_adapter_face_checkpoint=args.ip_adapter_face_checkpoint,
+        controlnet_checkpoint=args.controlnet_checkpoint,
         lora_checkpoints=args.lora_path,
         textual_inversion_checkpoints=args.textual_inversion,
         lcm_lora_checkpoint=args.lcm_lora_path,

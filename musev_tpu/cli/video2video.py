@@ -22,6 +22,14 @@ def parse_args(argv=None):
     p.add_argument("--output_dir", type=str, default="./output")
     p.add_argument("--model_name", type=str, default="musev_referencenet_pose")
     p.add_argument("--unet_checkpoint", type=str, default=None)
+    p.add_argument("--sd_base_checkpoint", type=str, default=None)
+    p.add_argument("--vae_checkpoint", type=str, default=None)
+    p.add_argument("--text_checkpoint", type=str, default=None)
+    p.add_argument("--referencenet_checkpoint", type=str, default=None)
+    p.add_argument("--clip_vision_checkpoint", type=str, default=None,
+                   help="IP-Adapter image encoder (transformers "
+                        "CLIPVisionModelWithProjection weights)")
+    p.add_argument("--ip_adapter_checkpoint", type=str, default=None)
     p.add_argument("--controlnet_checkpoint", type=str, default=None)
     p.add_argument("--pose_guider_model_path", type=str, default=None,
                    help="Moore-AnimateAnyone PoseGuider checkpoint "
@@ -112,6 +120,12 @@ def main(argv=None):
     preset = get_model_preset(
         args.model_name,
         unet_checkpoint=args.unet_checkpoint,
+        sd_base_checkpoint=args.sd_base_checkpoint,
+        vae_checkpoint=args.vae_checkpoint,
+        text_checkpoint=args.text_checkpoint,
+        referencenet_checkpoint=args.referencenet_checkpoint,
+        clip_vision_checkpoint=args.clip_vision_checkpoint,
+        ip_adapter_checkpoint=args.ip_adapter_checkpoint,
         controlnet_checkpoint=args.controlnet_checkpoint,
         pose_guider_checkpoint=args.pose_guider_model_path,
         tokenizer_path=args.tokenizer_path,

@@ -46,6 +46,9 @@ class ModelPreset:
     vae_checkpoint: Optional[str] = None
     text_checkpoint: Optional[str] = None
     referencenet_checkpoint: Optional[str] = None
+    # IP-Adapter image encoder (transformers CLIPVisionModelWithProjection
+    # weights, e.g. the ViT-H ip_image_encoder the reference downloads)
+    clip_vision_checkpoint: Optional[str] = None
     ip_adapter_checkpoint: Optional[str] = None
     ip_adapter_face_checkpoint: Optional[str] = None
     controlnet_checkpoint: Optional[str] = None

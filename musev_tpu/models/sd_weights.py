@@ -357,6 +357,36 @@ def clip_text_key_map(cfg: CLIPTextConfig) -> Iterator[KeyEntry]:
     yield "text_model.final_layer_norm", ("final_layer_norm",), "norm"
 
 
+def clip_vision_key_map(cfg) -> Iterator[KeyEntry]:
+    """transformers CLIPVisionModel(WithProjection) -> models/clip_vision.py
+    params (the IP-Adapter image encoder the reference loads via mmcm's
+    clip_vision_extractor, SURVEY §2.9). Note 'pre_layrnorm' is the HF
+    checkpoint spelling."""
+    # (patch_embedding handled in convert_clip_vision: bare HWIO array leaf)
+    yield (
+        "vision_model.embeddings.class_embedding",
+        ("class_embedding",),
+        "raw",
+    )
+    yield (
+        "vision_model.embeddings.position_embedding",
+        ("position_embedding",),
+        "embedding",
+    )
+    yield "vision_model.pre_layrnorm", ("pre_layrnorm",), "norm"
+    for i in range(cfg.num_layers):
+        pre = f"vision_model.encoder.layers.{i}"
+        path = ("layers", i)
+        yield f"{pre}.layer_norm1", (*path, "layer_norm1"), "norm"
+        for n in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            yield f"{pre}.self_attn.{n}", (*path, n), "linear"
+        yield f"{pre}.layer_norm2", (*path, "layer_norm2"), "norm"
+        yield f"{pre}.mlp.fc1", (*path, "fc1"), "linear"
+        yield f"{pre}.mlp.fc2", (*path, "fc2"), "linear"
+    yield "vision_model.post_layernorm", ("post_layernorm",), "norm"
+    yield "visual_projection", ("visual_projection",), "linear"
+
+
 # ---------------------------------------------------------------------------
 # application
 
@@ -383,6 +413,13 @@ def _set_leaf(tree, path, leaf_key, value):
     node = _get(tree, path)
     if node is None:
         return False
+    old = node.get(leaf_key) if isinstance(node, dict) else None
+    if old is not None and np.shape(old) != np.shape(value):
+        raise ValueError(
+            f"checkpoint tensor for {'.'.join(map(str, path))}.{leaf_key} has "
+            f"shape {np.shape(value)}, model expects {np.shape(old)} — wrong "
+            "checkpoint for this architecture preset?"
+        )
     node[leaf_key] = value
     return True
 
@@ -496,6 +533,23 @@ def convert_vae(params, cfg: VAEConfig, state_dict) -> Tuple[int, List[str]]:
 
 def convert_clip_text(params, cfg: CLIPTextConfig, state_dict) -> Tuple[int, List[str]]:
     return apply_state_dict(params, list(clip_text_key_map(cfg)), state_dict)
+
+
+def convert_clip_vision(params, cfg, state_dict) -> Tuple[int, List[str]]:
+    """Load a transformers CLIPVisionModel(WithProjection) checkpoint (the
+    IP-Adapter image encoder) into the functional clip_vision params."""
+    n, leftover = apply_state_dict(
+        params, list(clip_vision_key_map(cfg)), state_dict
+    )
+    pk = "vision_model.embeddings.patch_embedding.weight"
+    if pk in state_dict:
+        # conv (D, 3, ps, ps) OIHW -> our bare HWIO array leaf
+        params["patch_embedding"] = np.ascontiguousarray(
+            np.asarray(state_dict[pk]).transpose(2, 3, 1, 0)
+        )
+        n += 1
+        leftover = [k for k in leftover if k != pk]
+    return n, leftover
 
 
 def convert_referencenet(

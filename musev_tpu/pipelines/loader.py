@@ -140,7 +140,16 @@ def build_models(
         kwargs["referencenet_params"] = rp
         kwargs["referencenet_cfg"] = preset.referencenet_cfg
     if preset.clip_vision_cfg is not None:
-        kwargs["clip_vision_params"] = init(init_clip_vision, preset.clip_vision_cfg, 4)
+        cvp = init(init_clip_vision, preset.clip_vision_cfg, 4)
+        if preset.clip_vision_checkpoint and os.path.exists(
+            preset.clip_vision_checkpoint
+        ):
+            n, _ = sd_weights.convert_clip_vision(
+                cvp, preset.clip_vision_cfg,
+                _load_state_dict(preset.clip_vision_checkpoint),
+            )
+            logger.info("clip_vision: %d tensors loaded", n)
+        kwargs["clip_vision_params"] = cvp
         kwargs["clip_vision_cfg"] = preset.clip_vision_cfg
         is_plus = "Plus" in preset.ip_adapter_model_name
         if is_plus:

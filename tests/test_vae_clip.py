@@ -118,3 +118,58 @@ def test_clip_golden_vs_transformers():
         ref = hf(input_ids=torch.from_numpy(ids)).last_hidden_state.numpy()
     out = np.asarray(clip_text_encode(params, cfg, jnp.asarray(ids, jnp.int32)))
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_clip_vision_golden_vs_transformers():
+    """convert_clip_vision: golden parity vs the torch
+    CLIPVisionModelWithProjection on random weights (the IP-Adapter image
+    encoder path, reference ip_adapter_loader.py:50-66)."""
+    import numpy as np
+    import torch
+    from transformers import CLIPVisionConfig as HFVisionConfig
+    from transformers import CLIPVisionModelWithProjection
+
+    from musev_tpu.models.clip_vision import (
+        CLIPVisionConfig,
+        clip_vision_encode,
+        init_clip_vision,
+    )
+    from musev_tpu.models.sd_weights import convert_clip_vision
+
+    hf_cfg = HFVisionConfig(
+        image_size=28, patch_size=14, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64, projection_dim=16,
+    )
+    torch.manual_seed(0)
+    hf = CLIPVisionModelWithProjection(hf_cfg).eval()
+
+    cfg = CLIPVisionConfig(
+        image_size=28, patch_size=14, hidden_size=32, num_layers=2,
+        num_heads=4, intermediate_size=64, projection_dim=16,
+    )
+    params = init_clip_vision(jax.random.PRNGKey(0), cfg)
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    n, leftover = convert_clip_vision(params, cfg, sd)
+    assert n >= 2 * 8 + 5, f"only {n} tensors loaded"
+    # every torch tensor must land somewhere (no silent drops)
+    assert not [k for k in leftover if "position_ids" not in k], leftover
+
+    rng = np.random.default_rng(0)
+    pixels = rng.standard_normal((2, 28, 28, 3)).astype(np.float32)
+    hidden, projected = clip_vision_encode(params, cfg, jnp.asarray(pixels))
+    with torch.no_grad():
+        out = hf(
+            pixel_values=torch.from_numpy(pixels.transpose(0, 3, 1, 2)),
+            output_hidden_states=True,
+        )
+    np.testing.assert_allclose(
+        np.asarray(projected), out.image_embeds.numpy(), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(hidden), out.hidden_states[-1].numpy(), atol=2e-5
+    )
+    # penultimate variant (IP-Adapter-Plus consumes hidden_states[-2])
+    pen, _ = clip_vision_encode(params, cfg, jnp.asarray(pixels), penultimate=True)
+    np.testing.assert_allclose(
+        np.asarray(pen), out.hidden_states[-2].numpy(), atol=2e-5
+    )
