@@ -157,6 +157,27 @@ def _flash_unroll(q, k, v, scale, block_q, sub_kv, sk, with_stats=False):
     return outs
 
 
+def _bq_target(sq: int, sk: int, d_p: int) -> int:
+    """Default q-block target: 576 (tuned at the 576^2 flagship, sq=5184);
+    1024 when it tiles sq exactly and KV is small enough that the wider
+    q block still fits VMEM alongside it — measured +9% at the 512^2
+    refnet shape (sq=sk=4096: 60.4 vs 55.5 TFLOP/s on v5e; bq=864/1024
+    at sk_p=5184 blows the scoped-VMEM compile)."""
+    if sq % 1024 == 0 and sk <= 4096 and d_p <= 128:
+        return 1024
+    return 576
+
+
+def _split_sub_kv(d_p: int) -> int:
+    """KV sub-block for the split-merge path: wider sub-blocks amortize the
+    per-part pipeline ramp — measured 40.7 vs 34.2 TFLOP/s at the 512^2
+    ReferenceOnly concat-KV shape (sk=8192 -> two balanced 4096 parts),
+    equal at the 576^2 one (sk=10368). Flat 2048 (not _pick_block over the
+    full sk): each part masks its own tail, so whole-sk pad waste doesn't
+    apply here."""
+    return min(2048, _kv_capacity(d_p, 8))
+
+
 def _pick_block(s: int, target: int) -> int:
     """Largest block <= target (multiple of 8) minimizing pad waste.
 
@@ -206,7 +227,8 @@ def flash_attention(
             x = jnp.pad(x, ((0, 0), (0, 0), (0, d_p - d)))
         return x
 
-    bq = _pick_block(sq, 576 if block_q is None else block_q)
+    bq = _pick_block(sq, _bq_target(sq, sk, d_p) if block_q is None
+                     else block_q)
     sq_p = _cdiv(sq, bq) * bq
     qb = _pad_rows(to_bh(q, sq), sq_p)
     kb = to_bh(k, sk)
@@ -230,6 +252,8 @@ def flash_attention(
         bq = _pick_block(sq, 432 if block_q is None else block_q)
         sq_p = _cdiv(sq, bq) * bq
         qb = _pad_rows(to_bh(q, sq), sq_p)
+        if block_kv is None:
+            sub = _split_sub_kv(d_p)
         part = _kv_capacity(d_p, sub)
         n_parts = _cdiv(sk, part)
         o = m = l = None

@@ -74,3 +74,26 @@ def test_kv_len_masks_padded_tail():
     np.testing.assert_allclose(
         np.asarray(out[:, :t]), np.asarray(ref), atol=2e-5, rtol=1e-5
     )
+
+
+def test_flash_block_heuristics():
+    """Tuned block-choice helpers (v5e-measured, see flash_attention.py
+    docstrings): 1024-q only where it tiles exactly and KV fits; split
+    sub-kv flat 2048 clamped by lane-scaled VMEM capacity."""
+    from musev_tpu.ops.pallas.flash_attention import (
+        _bq_target,
+        _kv_capacity,
+        _pick_block,
+        _split_sub_kv,
+    )
+
+    assert _bq_target(4096, 4096, 128) == 1024   # 512^2 refnet shape
+    assert _bq_target(5184, 5184, 128) == 576    # 576^2 flagship shape
+    assert _bq_target(4096, 8192, 128) == 576    # concat-KV: too much KV
+    assert _bq_target(4096, 4096, 512) == 576    # wide heads shrink VMEM
+    assert _split_sub_kv(128) == 2048
+    assert _split_sub_kv(512) == _kv_capacity(512, 8)  # clamped
+    # split part sizes stay balanced at the measured shapes
+    assert _kv_capacity(128, 2048) == 4096       # sk=8192 -> 2 x 4096
+    assert _pick_block(4096, 576) == 512         # exact tiling beats target
+    assert _pick_block(5184, 576) == 576
