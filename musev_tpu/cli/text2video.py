@@ -152,6 +152,12 @@ def _shrink_preset(preset):
 
 def main(argv=None):
     args = parse_args(argv)
+    if bool(args.face_det_onnx) != bool(args.face_rec_onnx):
+        raise SystemExit(
+            "--face_det_onnx and --face_rec_onnx must be given together "
+            "(face-embedding extraction needs both the detector and the "
+            "recognition model)"
+        )
     import jax.numpy as jnp
 
     from ..configs.model_registry import get_model_preset, resolve_negative_prompt
@@ -177,6 +183,14 @@ def main(argv=None):
         textual_inversion_checkpoints=args.textual_inversion,
         lcm_lora_checkpoint=args.lcm_lora_path,
     )
+    if args.ip_adapter_face_checkpoint and not preset.unet_cfg.need_ip_adapter_face:
+        # giving a FaceID checkpoint enables the branch, as the reference
+        # does via --ip_adapter_face_model_name (text2video.py:761-776)
+        import dataclasses
+
+        preset.unet_cfg = dataclasses.replace(
+            preset.unet_cfg, need_ip_adapter_face=True
+        )
     if args.tiny:
         preset = _shrink_preset(preset)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32

@@ -199,9 +199,12 @@ def detect_faces(
     iw, ih = input_size
     ratio = min(iw / w, ih / h)
     nw, nh = int(round(w * ratio)), int(round(h * ratio))
-    xs = (np.arange(nw) / ratio).astype(np.int64).clip(0, w - 1)
-    ys = (np.arange(nh) / ratio).astype(np.int64).clip(0, h - 1)
-    resized = frame[ys][:, xs]
+    # bilinear resize into the canvas (insightface uses cv2.resize bilinear;
+    # nearest-neighbor shifts detection scores / landmark positions) —
+    # warp_affine with a pure scale matrix IS a bilinear resize and already
+    # takes the cv2 fast path when available
+    scale_mat = np.array([[ratio, 0.0, 0.0], [0.0, ratio, 0.0]], np.float32)
+    resized = warp_affine(frame, scale_mat, (nw, nh))
     canvas = np.zeros((ih, iw, 3), np.float32)
     canvas[:nh, :nw] = resized.astype(np.float32)
     inp = ((canvas - 127.5) / 128.0).transpose(2, 0, 1)[None]

@@ -75,7 +75,8 @@ def init_mlp_proj(
 def mlp_proj(p: Params, id_emb: jnp.ndarray) -> jnp.ndarray:
     """(B, id_dim) face embedding -> (B, num_tokens, cross_dim)."""
     cross = p["norm"]["scale"].shape[0]
-    x = jax.nn.gelu(linear(p["fc1"], id_emb))
+    # exact (erf) GELU: torch nn.GELU default in the reference MLPProjModel
+    x = jax.nn.gelu(linear(p["fc1"], id_emb), approximate=False)
     x = linear(p["fc2"], x).reshape(id_emb.shape[0], -1, cross)
     return layer_norm(p["norm"], x)
 

@@ -409,17 +409,21 @@ def _get(tree, path):
     return tree
 
 
+def _check_shape(name, old, value):
+    if old is not None and np.shape(old) != np.shape(value):
+        raise ValueError(
+            f"checkpoint tensor for {name} has shape {np.shape(value)}, "
+            f"model expects {np.shape(old)} — wrong checkpoint for this "
+            "architecture preset?"
+        )
+
+
 def _set_leaf(tree, path, leaf_key, value):
     node = _get(tree, path)
     if node is None:
         return False
     old = node.get(leaf_key) if isinstance(node, dict) else None
-    if old is not None and np.shape(old) != np.shape(value):
-        raise ValueError(
-            f"checkpoint tensor for {'.'.join(map(str, path))}.{leaf_key} has "
-            f"shape {np.shape(value)}, model expects {np.shape(old)} — wrong "
-            "checkpoint for this architecture preset?"
-        )
+    _check_shape(f"{'.'.join(map(str, path))}.{leaf_key}", old, value)
     node[leaf_key] = value
     return True
 
@@ -478,7 +482,9 @@ def apply_state_dict(
             if key in sd:
                 node = _get(params, path[:-1])
                 if node is not None and path[-1] in node:
-                    node[path[-1]] = np.asarray(sd[key])
+                    arr = np.asarray(sd[key])
+                    _check_shape(".".join(map(str, path)), node[path[-1]], arr)
+                    node[path[-1]] = arr
                     consumed.add(key)
                     n += 1
             continue
@@ -544,9 +550,11 @@ def convert_clip_vision(params, cfg, state_dict) -> Tuple[int, List[str]]:
     pk = "vision_model.embeddings.patch_embedding.weight"
     if pk in state_dict:
         # conv (D, 3, ps, ps) OIHW -> our bare HWIO array leaf
-        params["patch_embedding"] = np.ascontiguousarray(
+        arr = np.ascontiguousarray(
             np.asarray(state_dict[pk]).transpose(2, 3, 1, 0)
         )
+        _check_shape("patch_embedding", params.get("patch_embedding"), arr)
+        params["patch_embedding"] = arr
         n += 1
         leftover = [k for k in leftover if k != pk]
     return n, leftover
@@ -680,6 +688,34 @@ def convert_image_proj(proj_params, state_dict: Dict[str, np.ndarray]) -> int:
     if "norm.bias" in sd:
         proj_params["norm"]["bias"] = np.asarray(sd["norm.bias"])
         n += 1
+    return n
+
+
+def convert_mlp_proj(proj_params, state_dict: Dict[str, np.ndarray]) -> int:
+    """Load an IPAdapterFaceID MLPProjModel ("image_proj" subdict of an
+    ip-adapter-faceid_sd15.bin: proj.0 = Linear(id, id*2), proj.2 =
+    Linear(id*2, cross*tokens), norm = LayerNorm) into our mlp_proj params
+    (fc1/fc2/norm). The reference loads this via IPAdapterFaceID image_proj
+    (ip_adapter_face_loader.py:98-144)."""
+    sd = state_dict.get("image_proj", state_dict)
+    n = 0
+    for torch_key, ours in (("proj.0", "fc1"), ("proj.2", "fc2")):
+        wk, bk = f"{torch_key}.weight", f"{torch_key}.bias"
+        if wk in sd:
+            kern = np.ascontiguousarray(np.asarray(sd[wk]).T)
+            _check_shape(f"mlp_proj.{ours}.kernel",
+                         proj_params[ours].get("kernel"), kern)
+            proj_params[ours]["kernel"] = kern
+            n += 1
+        if bk in sd:
+            proj_params[ours]["bias"] = np.asarray(sd[bk])
+            n += 1
+    if "norm.weight" in sd:
+        _check_shape("mlp_proj.norm.scale", proj_params["norm"].get("scale"),
+                     sd["norm.weight"])
+        proj_params["norm"]["scale"] = np.asarray(sd["norm.weight"])
+        proj_params["norm"]["bias"] = np.asarray(sd["norm.bias"])
+        n += 2
     return n
 
 

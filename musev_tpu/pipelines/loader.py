@@ -34,10 +34,15 @@ logger = logging.getLogger(__name__)
 
 def _tokenizer_for(preset: ModelPreset):
     if preset.tokenizer_path:
+        # an explicitly-given path that fails to load must raise — silently
+        # hash-tokenizing a typo'd --tokenizer_path yields garbage generations
         try:
             return HFCLIPTokenizer(preset.tokenizer_path)
-        except Exception:
-            logger.warning("tokenizer load failed; using hash fallback")
+        except Exception as e:
+            raise ValueError(
+                f"tokenizer_path {preset.tokenizer_path!r} failed to load: {e}. "
+                "Leave tokenizer_path unset to use the hash fallback tokenizer."
+            ) from e
     # fallback tokenizer must hash into the text model's actual vocab
     return HashTokenizer(vocab_size=preset.text_cfg.vocab_size)
 
@@ -110,8 +115,11 @@ def build_models(
                 text_params, preset.text_cfg, ldm_text_sd
             )
             logger.info("ldm text encoder loaded")
-    for slot in ("unet", "sd_base", "vae", "text"):
-        p = getattr(preset, f"{slot}_checkpoint")
+    for slot in (
+        "unet", "sd_base", "vae", "text", "clip_vision", "referencenet",
+        "ip_adapter", "ip_adapter_face", "controlnet",
+    ):
+        p = getattr(preset, f"{slot}_checkpoint", None)
         if p and not os.path.exists(p):
             logger.warning(
                 "%s_checkpoint %r does not exist — network stays at its "
@@ -210,10 +218,13 @@ def build_models(
             preset.ip_adapter_face_checkpoint
         ):
             face_sd = _load_state_dict(preset.ip_adapter_face_checkpoint)
-            sd_weights.convert_ip_adapter_unet(
+            n1 = sd_weights.convert_mlp_proj(face_proj, face_sd)
+            n2 = sd_weights.convert_ip_adapter_unet(
                 unet_params, preset.unet_cfg, face_sd, face=True
             )
-            logger.info("ip_adapter_face tensors loaded")
+            logger.info(
+                "ip_adapter_face: %d proj + %d unet tensors", n1, n2
+            )
         kwargs["ip_face_proj_params"] = face_proj
     if preset.controlnet_cfg is not None:
         cnp = init(init_controlnet, preset.controlnet_cfg, 6)

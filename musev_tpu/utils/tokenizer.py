@@ -59,9 +59,15 @@ class HFCLIPTokenizer:
 
 
 def get_tokenizer(path: Optional[str] = None) -> Tokenizer:
+    """Real CLIP tokenizer from ``path``, or the hash fallback when no path
+    is given. An explicitly-supplied path that fails to load raises — a
+    typo'd --tokenizer_path must not silently produce hash-token garbage."""
     if path is not None:
         try:
             return HFCLIPTokenizer(path)
-        except Exception:
-            pass
+        except Exception as e:
+            raise ValueError(
+                f"tokenizer path {path!r} failed to load: {e}. Omit the path "
+                "to use the hash fallback tokenizer."
+            ) from e
     return HashTokenizer()

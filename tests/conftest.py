@@ -40,6 +40,33 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import pytest  # noqa: E402
 
+# Tiered suite: `-m smoke` runs the host-side / small-compile core in minutes;
+# the unmarked remainder is the compile-heavy tier (fp topology, AD through
+# collectives, full-pipeline e2e) that costs ~50 min cold on a CPU host.
+_SMOKE_MODULES = {
+    "test_autoprompt_attributes",
+    "test_aux_subsystems",
+    "test_context",
+    "test_face_emb",
+    "test_guidance",
+    "test_index_ops",
+    "test_ldm_convert",
+    "test_lora_ti_config",
+    "test_noise_adain",
+    "test_onnx_runtime",
+    "test_processor_zoo",
+    "test_scheduler",
+    "test_schedulers_all",
+    "test_sd_weights",
+    "test_video_io",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module is not None and item.module.__name__ in _SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _drop_live_executables_per_module():

@@ -231,3 +231,34 @@ def test_split_path_arg_forms(tmp_path):
     assert _parse_scale("0.25", "x") == 0.25
     with pytest.raises(ValueError, match="malformed LoRA spec"):
         _parse_scale("ra.safetensors", "/my:path/lo:ra.safetensors")
+
+
+def test_get_tokenizer_explicit_bad_path_raises(tmp_path):
+    """A user-supplied tokenizer path that fails to load must raise, not
+    silently fall back to hash tokens (garbage generations)."""
+    from musev_tpu.utils.tokenizer import get_tokenizer
+
+    assert isinstance(get_tokenizer(None), HashTokenizer)
+    with pytest.raises(ValueError, match="failed to load"):
+        get_tokenizer(str(tmp_path / "nonexistent_tokenizer"))
+
+
+def test_loader_explicit_bad_tokenizer_path_raises(tmp_path):
+    import dataclasses
+
+    from musev_tpu.cli.text2video import _shrink_preset
+    from musev_tpu.pipelines.loader import build_models
+
+    preset = _shrink_preset(get_model_preset("musev"))
+    preset = dataclasses.replace(
+        preset, tokenizer_path=str(tmp_path / "no_such_tok")
+    )
+    with pytest.raises(ValueError, match="failed to load"):
+        build_models(preset)
+
+
+def test_face_onnx_flags_must_pair():
+    from musev_tpu.cli.text2video import main
+
+    with pytest.raises(SystemExit, match="together"):
+        main(["--face_det_onnx", "det.onnx", "--test_data_path", "none"])

@@ -1,7 +1,10 @@
 import jax
 import numpy as np
+import pytest
 
 from musev_tpu.models.sd_weights import (
+    convert_clip_text,
+    convert_mlp_proj,
     convert_unet3d,
     export_unet3d,
     unet3d_key_map,
@@ -62,3 +65,64 @@ def test_2d_base_merge_keeps_temporal():
     np.testing.assert_array_equal(before_temporal, after_temporal)
     spatial = np.asarray(params["conv_in"]["bias"])
     np.testing.assert_array_equal(spatial, np.full_like(spatial, 7.0))
+
+
+def test_convert_mlp_proj_matches_torch_layout():
+    """FaceID MLPProjModel (proj.0 -> GELU -> proj.2 -> LayerNorm) checkpoint
+    loads into mlp_proj and reproduces the torch forward
+    (ip_adapter_face_loader.py:132 image_proj load)."""
+    from musev_tpu.models.ip_adapter import init_mlp_proj, mlp_proj
+
+    rng = np.random.RandomState(0)
+    id_dim, cross, tokens = 8, 6, 4
+    sd = {
+        "image_proj": {
+            "proj.0.weight": rng.randn(id_dim * 2, id_dim).astype(np.float32),
+            "proj.0.bias": rng.randn(id_dim * 2).astype(np.float32),
+            "proj.2.weight": rng.randn(cross * tokens, id_dim * 2).astype(np.float32),
+            "proj.2.bias": rng.randn(cross * tokens).astype(np.float32),
+            "norm.weight": rng.randn(cross).astype(np.float32),
+            "norm.bias": rng.randn(cross).astype(np.float32),
+        }
+    }
+    params = init_mlp_proj(
+        jax.random.PRNGKey(0), id_dim=id_dim, cross_dim=cross, num_tokens=tokens
+    )
+    n = convert_mlp_proj(params, sd)
+    assert n == 6
+    x = rng.randn(2, id_dim).astype(np.float32)
+    got = np.asarray(mlp_proj(params, x))
+    # manual torch-layout forward
+    p = sd["image_proj"]
+    import math
+
+    h = x @ p["proj.0.weight"].T + p["proj.0.bias"]
+    h = 0.5 * h * (1.0 + np.vectorize(math.erf)(h / np.sqrt(2.0)))
+    h = (h @ p["proj.2.weight"].T + p["proj.2.bias"]).reshape(2, tokens, cross)
+    mu = h.mean(-1, keepdims=True)
+    var = h.var(-1, keepdims=True)
+    want = (h - mu) / np.sqrt(var + 1e-5) * p["norm.weight"] + p["norm.bias"]
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_convert_mlp_proj_shape_mismatch_raises():
+    from musev_tpu.models.ip_adapter import init_mlp_proj
+
+    params = init_mlp_proj(jax.random.PRNGKey(0), id_dim=8, cross_dim=6, num_tokens=4)
+    bad = {"image_proj": {"proj.0.weight": np.zeros((32, 16), np.float32)}}
+    with pytest.raises(ValueError, match="shape"):
+        convert_mlp_proj(params, bad)
+
+
+def test_embedding_shape_mismatch_raises():
+    """The raw/embedding converter branch must reject wrong-vocab tables
+    instead of silently installing them."""
+    from musev_tpu.models.clip_text import CLIPTextConfig, init_clip_text
+
+    cfg = CLIPTextConfig(vocab_size=100, hidden_size=16, num_layers=1,
+                         intermediate_size=32)
+    params = init_clip_text(jax.random.PRNGKey(0), cfg)
+    sd = {"text_model.embeddings.token_embedding.weight":
+          np.zeros((200, 16), np.float32)}
+    with pytest.raises(ValueError, match="shape"):
+        convert_clip_text(params, cfg, sd)
