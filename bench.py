@@ -211,9 +211,18 @@ def main():
     )
 
     decode_s = 0.0
+    decode_shard_s = 0.0
     if not args.no_decode:
         dec = lambda l: vae_decode_video(vae_params, vae_cfg, l, segment=8)
         decode_s, _ = time_call(dec, out)
+        # per-chip share of the mesh-sharded frame-parallel decode
+        # (vae_decode_video(mesh=, axis=)): ceil(T/8) frames, MEASURED —
+        # the projection no longer assumes decode_s/8
+        shard_frames = -(-args.frames // 8)
+        dec_shard = lambda l: vae_decode_video(
+            vae_params, vae_cfg, l, segment=shard_frames
+        )
+        decode_shard_s, _ = time_call(dec_shard, out[:, :shard_frames])
 
     # per-chip workload under the chosen topology
     shard_denoise_s = None
@@ -278,31 +287,59 @@ def main():
             "backend": jax.default_backend(),
         },
     }
+    # projected per-chip decode = measured ceil(T/8)-frame decode + the
+    # decoded-pixel all-gather (b*T*H*W*3 bf16) over ICI
+    pixel_bytes = args.frames * args.size * args.size * 3 * 2
+
+    def proj_decode(ici_bw):
+        return decode_shard_s + pixel_bytes * (n_chips - 1) / n_chips / ici_bw
+
     if shard_denoise_s is not None and fp_model is not None:
         # v5e-8 frame-parallel projection: every chip runs the measured
         # 1/8-row shard of the full plan; ICI time is derived from the
         # per-step collective payloads the program actually issues (see
-        # fp_collective_model) at 50%-achievable v5e ICI bandwidth
-        # (100 GB/s/chip) + 5 us launch per collective, + the dp-style
-        # per-step latents all-gather. Decode is frame-parallel over 8.
-        ici_bw = 100e9
-        coll_lat = 5e-6
+        # fp_collective_model). Decode is the MEASURED per-chip share of
+        # the mesh-sharded frame-parallel vae_decode_video.
+        #
+        # The headline uses 50% achievable ICI bandwidth (100 GB/s/chip of
+        # the 1600 Gbit/s aggregate) + 5 us launch per collective; because
+        # the fp program issues ~332 collectives/step, the projection is
+        # also printed at its assumption CORNERS (launch 5/25 us x ICI
+        # efficiency 50%/30%) and the worst corner is reported alongside.
+        # Caveat (stated in README too): the per-shard time is measured via
+        # the StubComm per-device program on one chip — real collectives pin
+        # layouts and serialize in ways a local stub cannot, so treat the
+        # corners as the honest uncertainty band.
         itemsize = 2
         lat_bytes = int(np.prod(lat.shape)) * itemsize
-        per_step_ici = (
-            fp_model["bytes_per_step"] / ici_bw
-            + fp_model["collectives_per_step"] * coll_lat
-            + lat_bytes * (n_chips - 1) / n_chips / ici_bw
-        )
-        ici_s = args.steps * per_step_ici
-        proj = 1.02 * shard_denoise_s + ici_s + decode_s / n_chips
+
+        def fp_proj(coll_lat, ici_eff):
+            ici_bw = 200e9 * ici_eff
+            per_step_ici = (
+                fp_model["bytes_per_step"] / ici_bw
+                + fp_model["collectives_per_step"] * coll_lat
+                + lat_bytes * (n_chips - 1) / n_chips / ici_bw
+            )
+            ici_s = args.steps * per_step_ici
+            return 1.02 * shard_denoise_s + ici_s + proj_decode(ici_bw), ici_s
+
+        proj, ici_s = fp_proj(5e-6, 0.50)
+        corners = {
+            f"launch{int(l*1e6)}us_ici{int(e*100)}": round(fp_proj(l, e)[0], 3)
+            for l in (5e-6, 25e-6) for e in (0.50, 0.30)
+        }
+        worst = max(corners.values())
         result["per_shard_denoise_seconds"] = round(shard_denoise_s, 3)
+        result["per_shard_decode_seconds"] = round(decode_shard_s, 3)
         result["ici_seconds_derived"] = round(ici_s, 6)
         result["ici_bytes_per_step"] = int(fp_model["bytes_per_step"])
         result["ici_collectives_per_step"] = int(
             fp_model["collectives_per_step"]
         )
         result["projected_v5e8_e2e_seconds"] = round(proj, 3)
+        result["projection_corners"] = corners
+        result["projection_worst_case"] = round(worst, 3)
+        result["vs_baseline_worst_case"] = round(3.0 / worst, 3)
         result["vs_baseline"] = round(3.0 / proj, 3)
     elif shard_denoise_s is not None:
         # v5e-8 projection: every chip runs one window x one CFG half
@@ -322,20 +359,32 @@ def main():
         itemsize = 2  # bf16
         lat_bytes = int(np.prod(lat.shape)) * itemsize
         noise_buf_bytes = 2 * lat_bytes  # reps=2 CFG halves
-        ici_bw = 100e9
-        coll_lat = 25e-6
-        per_step_ici = (
-            noise_buf_bytes * 2 * (n_chips - 1) / n_chips / ici_bw  # psum
-            + lat_bytes * (n_chips - 1) / n_chips / ici_bw  # all-gather
-            + 2 * coll_lat
-        )
-        ici_s = args.steps * per_step_ici
-        # 2% residual for step-boundary jitter the arithmetic cannot see
-        proj = 1.02 * shard_denoise_s + ici_s + decode_s / 8.0
+
+        def dp_proj(coll_lat, ici_eff):
+            ici_bw = 200e9 * ici_eff
+            per_step_ici = (
+                noise_buf_bytes * 2 * (n_chips - 1) / n_chips / ici_bw  # psum
+                + lat_bytes * (n_chips - 1) / n_chips / ici_bw  # all-gather
+                + 2 * coll_lat
+            )
+            ici_s = args.steps * per_step_ici
+            # 2% residual for step-boundary jitter the arithmetic can't see
+            return 1.02 * shard_denoise_s + ici_s + proj_decode(ici_bw), ici_s
+
+        proj, ici_s = dp_proj(25e-6, 0.50)
+        corners = {
+            f"launch{int(l*1e6)}us_ici{int(e*100)}": round(dp_proj(l, e)[0], 3)
+            for l in (5e-6, 25e-6) for e in (0.50, 0.30)
+        }
+        worst = max(corners.values())
         result["per_shard_denoise_seconds"] = round(shard_denoise_s, 3)
+        result["per_shard_decode_seconds"] = round(decode_shard_s, 3)
         result["ici_seconds_derived"] = round(ici_s, 6)
         result["ici_bytes_per_step"] = noise_buf_bytes * 2 + lat_bytes
         result["projected_v5e8_e2e_seconds"] = round(proj, 3)
+        result["projection_corners"] = corners
+        result["projection_worst_case"] = round(worst, 3)
+        result["vs_baseline_worst_case"] = round(3.0 / worst, 3)
         result["vs_baseline"] = round(3.0 / proj, 3)
     else:
         # no projection measured: report the single-chip ratio honestly

@@ -54,6 +54,9 @@ def parse_args(argv=None):
     p.add_argument("--video_guidance_scale_end", type=float, default=None)
     p.add_argument("--video_guidance_scale_method", type=str, default="linear")
     p.add_argument("--guidance_scale", type=float, default=7.5)
+    # CFG rescale (arXiv:2305.08891): the reference defines
+    # rescale_noise_cfg (util.py:368) but never wires it; 0.0 = off
+    p.add_argument("--guidance_rescale", type=float, default=0.0)
     p.add_argument("--video_num_inference_steps", type=int, default=10)
     p.add_argument("--num_inference_steps", type=int, default=30)
     p.add_argument("--w_ind_noise", type=float, default=0.5)
@@ -284,6 +287,7 @@ def main(argv=None):
             video_guidance_scale_end=args.video_guidance_scale_end,
             video_guidance_scale_method=args.video_guidance_scale_method,
             guidance_scale=args.guidance_scale,
+            guidance_rescale=args.guidance_rescale,
             context_schedule=args.context_schedule,
             context_frames=args.context_frames,
             context_overlap=args.context_overlap,

@@ -85,6 +85,7 @@ def parse_args(argv=None):
     p.add_argument("--noise_type", type=str, default="video_fusion")
     p.add_argument("--video_guidance_scale", type=float, default=3.5)
     p.add_argument("--guidance_scale", type=float, default=7.5)
+    p.add_argument("--guidance_rescale", type=float, default=0.0)
     p.add_argument("--video_num_inference_steps", type=int, default=10)
     p.add_argument("--num_inference_steps", type=int, default=30)
     p.add_argument("--w_ind_noise", type=float, default=0.5)
@@ -249,6 +250,7 @@ def main(argv=None):
             num_inference_steps=args.num_inference_steps,
             video_guidance_scale=args.video_guidance_scale,
             guidance_scale=args.guidance_scale,
+            guidance_rescale=args.guidance_rescale,
             context_frames=args.context_frames,
             context_overlap=args.context_overlap,
             noise_type=args.noise_type,

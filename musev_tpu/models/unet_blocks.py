@@ -223,6 +223,10 @@ def attention(
         and bias is None
         and x.shape[1] <= 64
         and qp.shape[-1] % heads == 0
+        # C < one lane tile: Mosaic pads every (N,T,C) buffer to C=128,
+        # inflating VMEM 128/C x (tiny configs scoped-vmem OOM at C=16) and
+        # wasting the lanes the packing exists to fill — XLA path wins there
+        and qp.shape[-1] >= 128
         and jax.default_backend() not in ("cpu", "gpu")
         and not mesh_active()  # pallas custom calls can't be SPMD-partitioned
         and not training_active()  # no VJP on the pallas kernel

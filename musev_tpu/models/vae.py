@@ -217,11 +217,32 @@ def vae_decode_video(
     cfg: VAEConfig,
     latents: jnp.ndarray,
     segment: int = 16,
+    mesh=None,
+    axis: str = None,
 ) -> jnp.ndarray:
     """(B, T, h, w, 4) -> (B, T, H, W, 3), decoded in time segments for
-    constant HBM (reference decoder_t_segment loop, :2157-2171)."""
+    constant HBM (reference decoder_t_segment loop, :2157-2171).
+
+    With ``mesh``/``axis``, the frame axis is sharded over the mesh axis and
+    every chip decodes its own frames — the SD VAE is 2D (per-frame), so
+    frame-parallel decode needs no collectives beyond the output gather.
+    The segment loop is skipped: sharding already divides HBM by n_chips."""
     b, t, h, w, c = latents.shape
     flat = latents.reshape(b * t, h, w, c)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = mesh.shape[axis]
+        pad = (-(b * t) % n)
+        if pad:
+            flat = jnp.concatenate([flat, flat[-1:].repeat(pad, 0)], axis=0)
+        flat = jax.device_put(flat, NamedSharding(mesh, P(axis)))
+        # batch-parallel convs: XLA SPMD follows the input sharding, each
+        # chip decodes (b*t+pad)/n frames with zero cross-chip traffic
+        out = _decode_jit(params, cfg, flat)
+        out = jax.device_put(out, NamedSharding(mesh, P()))  # gather pixels
+        out = out[: b * t]
+        return out.reshape(b, t, *out.shape[1:])
     outs = []
     for start in range(0, b * t, segment):
         outs.append(_decode_jit(params, cfg, flat[start : start + segment]))

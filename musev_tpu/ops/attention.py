@@ -200,6 +200,16 @@ def sdpa(
             if q.shape[1] >= _FLASH_MIN_SEQ and bias is None:
                 return _xla_chunked_sdpa(q, k, v, scale=scale)
             return _xla_sdpa(q, k, v, scale=scale, bias=bias)
+        if (
+            not on_tpu
+            and bias is None
+            and q.shape[1] >= _FLASH_MIN_SEQ
+            and q.shape[1] * k.shape[1] >= (1 << 22)
+        ):
+            # off-TPU flash fallback at high-res shapes (e.g. the 704x1216
+            # config's 13376-token rows): full S^2 logits would be GBs per
+            # head; the chunked path is exact at O(chunk*Sk)
+            return _xla_chunked_sdpa(q, k, v, scale=scale)
         impl = (
             "flash"
             if on_tpu and bias is None and q.shape[1] >= _FLASH_MIN_SEQ

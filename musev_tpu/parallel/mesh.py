@@ -54,4 +54,4 @@ def cli_topology(topology: str):
         return contextlib.nullcontext(), {}
     axis = topology
     mesh = make_mesh((len(devices),), (axis,))
-    return jax.set_mesh(mesh), {f"{axis}_axis": axis}
+    return jax.set_mesh(mesh), {f"{axis}_axis": axis, "mesh": mesh}

@@ -47,6 +47,11 @@ class DenoiseSpec:
     motion_speed: float = 8.0
     ip_adapter_scale: float = 1.0
     ip_adapter_face_scale: float = 1.0
+    # CFG rescale (arXiv:2305.08891 §3.4): the reference DEFINES
+    # rescale_noise_cfg (util.py:368-383) but never wires it into the
+    # pipeline; here 0.0 keeps the identical default and >0 applies it to
+    # the combined noise prediction after the per-step CFG combine
+    guidance_rescale: float = 0.0
     skip_temporal: bool = False
     # serial-denoise carry (reference fuse_part_tensor flow,
     # pipeline_controlnet.py:1846-2136; flagged "works bad" upstream but part
@@ -94,7 +99,8 @@ class DenoiseSpec:
             (self.unet_cfg, self.scheduler, self.plan, self.guidance.tobytes(),
              self.n_vision_cond, self.do_cfg, self.w_ind_noise, self.noise_type,
              self.motion_speed, self.ip_adapter_scale,
-             self.ip_adapter_face_scale, self.skip_temporal,
+             self.ip_adapter_face_scale, self.guidance_rescale,
+             self.skip_temporal,
              self.video_overlap, self.record_mid_video,
              self.record_step_latents, self.start_step,
              self.controlnet_cfg, self.controlnet_scale, self.pose_guider_cfg,
@@ -373,7 +379,14 @@ def _predict_noise_inner(
 
     if spec.do_cfg:
         g = jnp.asarray(spec.guidance)[step_index].astype(noise_pred.dtype)
-        noise_pred = noise_pred[0] + g * (noise_pred[1] - noise_pred[0])
+        combined = noise_pred[0] + g * (noise_pred[1] - noise_pred[0])
+        if spec.guidance_rescale > 0.0:
+            from ..utils.image_util import rescale_noise_cfg
+
+            combined = rescale_noise_cfg(
+                combined, noise_pred[1], spec.guidance_rescale
+            )
+        noise_pred = combined
     else:
         noise_pred = noise_pred[0]
     return noise_pred

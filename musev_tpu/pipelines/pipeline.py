@@ -101,6 +101,7 @@ class MusevPipeline:
         dtype=jnp.float32,
         dp_axis: Optional[str] = None,
         fp_axis: Optional[str] = None,
+        mesh=None,
     ):
         self.m = models
         self.scheduler_config = scheduler_config
@@ -111,6 +112,9 @@ class MusevPipeline:
         # (window, cfg, frame) row of the denoise over this mesh axis —
         # the flagship multi-chip topology (bench.py --topology fp)
         self.fp_axis = fp_axis
+        # concrete device mesh (cli_topology): when set, the VAE decode is
+        # frame-sharded over the dp/fp axis instead of segment-looped
+        self.mesh = mesh
         self._loras: List[tuple] = []  # (state_dict, scale) fuse log
         self._denoise_jit = jax.jit(
             denoise_loop, static_argnames=("spec",)
@@ -214,7 +218,16 @@ class MusevPipeline:
         return vae_encode_video(self.m.vae_params, self.m.vae_cfg, x.astype(self.dtype))
 
     def decode_latents(self, latents: jnp.ndarray, segment: int = 16) -> np.ndarray:
-        vid = vae_decode_video(self.m.vae_params, self.m.vae_cfg, latents, segment)
+        axis = self.fp_axis or self.dp_axis
+        if self.mesh is not None and axis is not None:
+            vid = vae_decode_video(
+                self.m.vae_params, self.m.vae_cfg, latents,
+                mesh=self.mesh, axis=axis,
+            )
+        else:
+            vid = vae_decode_video(
+                self.m.vae_params, self.m.vae_cfg, latents, segment
+            )
         vid = (jnp.clip(vid.astype(jnp.float32), -1, 1) + 1.0) / 2.0
         return np.asarray(vid)
 
@@ -235,6 +248,7 @@ class MusevPipeline:
         noise_type: str,
         motion_speed: float,
         ip_adapter_scale: float = 1.0,
+        guidance_rescale: float = 0.0,
     ) -> DenoiseSpec:
         return DenoiseSpec(
             unet_cfg=self.m.unet_cfg,
@@ -263,6 +277,7 @@ class MusevPipeline:
             noise_type=noise_type,
             motion_speed=motion_speed,
             ip_adapter_scale=ip_adapter_scale,
+            guidance_rescale=guidance_rescale,
             dp_axis=self.dp_axis,
             fp_axis=self.fp_axis,
         )
@@ -468,6 +483,7 @@ class MusevPipeline:
         num_inference_steps: int = 30,
         video_guidance_scale: float = 3.5,
         guidance_scale: float = 7.5,
+        guidance_rescale: float = 0.0,
         context_schedule: str = "uniform_v2",
         context_frames: int = 12,
         context_overlap: int = 4,
@@ -571,6 +587,7 @@ class MusevPipeline:
                 context_schedule, video_guidance_scale, None,
                 "linear", n_vc, w_ind_noise, noise_type, motion_speed,
                 ip_adapter_scale=ip_adapter_scale,
+                guidance_rescale=guidance_rescale,
             )
             if self.m.controlnet_cfg is not None:
                 s = dataclasses.replace(
@@ -775,6 +792,7 @@ class MusevPipeline:
         video_guidance_scale_end: Optional[float] = None,
         video_guidance_scale_method: str = "linear",
         guidance_scale: float = 7.5,
+        guidance_rescale: float = 0.0,
         context_schedule: str = "uniform_v2",
         context_frames: int = 12,
         context_overlap: int = 4,
@@ -855,6 +873,7 @@ class MusevPipeline:
             video_guidance_scale_end, video_guidance_scale_method,
             n_vision_condition, w_ind_noise, noise_type, motion_speed,
             ip_adapter_scale=ip_adapter_scale,
+            guidance_rescale=guidance_rescale,
         )
         if control_images is not None and self.m.controlnet_cfg is not None:
             spec = dataclasses.replace(

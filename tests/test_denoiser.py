@@ -101,3 +101,37 @@ def test_overlap_average_counts(params):
     # overlapped frames are averages, so magnitudes stay comparable
     mags = np.abs(np.asarray(out)).mean(axis=(0, 2, 3, 4))
     assert mags.max() / mags.min() < 10.0
+
+
+def test_rescale_noise_cfg_math():
+    """rescale=1 restores the text prediction's per-sample std exactly;
+    rescale=0 is the identity (arXiv:2305.08891 eq. 15-16)."""
+    from musev_tpu.utils.image_util import rescale_noise_cfg
+
+    k = jax.random.PRNGKey(0)
+    text = jax.random.normal(k, (2, 4, 4, 4, 4))
+    cfg_pred = 7.5 * text - 6.5 * jax.random.normal(jax.random.fold_in(k, 1), text.shape)
+    out0 = rescale_noise_cfg(cfg_pred, text, 0.0)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(cfg_pred))
+    out1 = rescale_noise_cfg(cfg_pred, text, 1.0)
+    std_t = np.std(np.asarray(text), axis=(1, 2, 3, 4))
+    std_o = np.std(np.asarray(out1), axis=(1, 2, 3, 4))
+    np.testing.assert_allclose(std_o, std_t, rtol=1e-5)
+
+
+def test_guidance_rescale_changes_prediction(params):
+    """guidance_rescale > 0 must alter the combined CFG prediction (the
+    reference defines rescale_noise_cfg but never wires it — here it is a
+    live DenoiseSpec field)."""
+    import dataclasses
+
+    spec = make_spec(t=4, w=4, overlap=0, steps=2, n_vc=0, do_cfg=True)
+    b, h, w_, c = 1, 4, 4, 4
+    lat = jax.random.normal(jax.random.PRNGKey(1), (b, 4, h, w_, c))
+    tu = jax.random.normal(jax.random.PRNGKey(3), (b, 5, 16))
+    tc = jax.random.normal(jax.random.PRNGKey(4), (b, 5, 16))
+    base = predict_noise(params, spec, lat, 0, tu, tc)
+    spec_r = dataclasses.replace(spec, guidance_rescale=0.7)
+    resc = predict_noise(params, spec_r, lat, 0, tu, tc)
+    assert not np.allclose(np.asarray(base), np.asarray(resc))
+    assert bool(jnp.isfinite(resc).all())

@@ -38,6 +38,22 @@ def test_vae_video_segmented_equals_full():
     assert dec.shape == (1, 5, 32, 32, 3)
 
 
+def test_vae_video_mesh_sharded_equals_unsharded():
+    """Frame-parallel decode over the device mesh must match the single-
+    device segmented decode exactly — this is the decode the v5e-8 bench
+    projection bills for (bench.py decode/n_chips term)."""
+    from jax.sharding import Mesh
+
+    params = init_vae(jax.random.PRNGKey(0), TINY_VAE)
+    # T=5 is deliberately NOT a multiple of 8: exercises the pad path
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 4, 4, 4))
+    want = vae_decode_video(params, TINY_VAE, lat, segment=2)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("fp",))
+    got = vae_decode_video(params, TINY_VAE, lat, mesh=mesh, axis="fp")
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
 def test_clip_text_shapes():
     cfg = CLIPTextConfig(vocab_size=100, hidden_size=32, num_layers=2,
                          num_heads=4, intermediate_size=64)
