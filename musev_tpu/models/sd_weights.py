@@ -591,37 +591,58 @@ def convert_pose_guider(
     return apply_state_dict(params, list(pose_guider_key_map(cfg)), state_dict)
 
 
+def export_state_dict(key_map, params) -> Dict[str, np.ndarray]:
+    """Inverse of apply_state_dict: read the params tree through a key map
+    and emit torch-layout tensors (parity tests, interop, and synthesizing
+    full reference-layout checkpoints for the ingestion tests).
+
+    Every emitted tensor is C-contiguous: safetensors serializes the raw
+    backing buffer, so a transposed VIEW would silently save garbage."""
+    out: Dict[str, np.ndarray] = {}
+    C = np.ascontiguousarray
+    for tk, path, kind in key_map:
+        if kind in ("raw", "embedding"):
+            node = _get(params, path[:-1])
+            if node is None or path[-1] not in node:
+                continue
+            key = tk if kind == "raw" else f"{tk}.weight"
+            out[key] = C(np.asarray(node[path[-1]]))
+            continue
+        node = _get(params, path)
+        if node is None or "kernel" not in node and "scale" not in node:
+            continue
+        if kind == "linear":
+            out[f"{tk}.weight"] = C(np.asarray(node["kernel"]).T)
+        elif kind == "conv2d":
+            out[f"{tk}.weight"] = C(
+                np.asarray(node["kernel"]).transpose(3, 2, 0, 1)
+            )
+        elif kind == "conv3d_t":
+            # (kT, 1, I, O) -> (O, I, kT, 1, 1)
+            out[f"{tk}.weight"] = C(
+                np.asarray(node["kernel"]).transpose(3, 2, 0, 1)[
+                    :, :, :, :, None
+                ]
+            )
+        elif kind == "conv3d_spatial":
+            # (kH, kW, I, O) -> InflatedConv3d (O, I, 1, kH, kW)
+            out[f"{tk}.weight"] = C(
+                np.asarray(node["kernel"]).transpose(3, 2, 0, 1)[:, :, None]
+            )
+        elif kind == "norm":
+            out[f"{tk}.weight"] = C(np.asarray(node["scale"]))
+            out[f"{tk}.bias"] = C(np.asarray(node["bias"]))
+            continue
+        else:
+            raise ValueError(kind)
+        if "bias" in node:
+            out[f"{tk}.bias"] = C(np.asarray(node["bias"]))
+    return out
+
+
 def export_unet3d(params, cfg: UNet3DConfig) -> Dict[str, np.ndarray]:
     """Inverse of convert_unet3d (for parity tests and interop)."""
-    out: Dict[str, np.ndarray] = {}
-    for tk, path, kind in unet3d_key_map(cfg):
-        node = _get(params, path)
-        if node is None:
-            continue
-        if kind == "raw":
-            out[tk] = np.asarray(node)
-            continue
-        if kind == "embedding":
-            out[f"{tk}.weight"] = np.asarray(node)
-            continue
-        if kind == "linear" and "kernel" in node:
-            out[f"{tk}.weight"] = np.asarray(node["kernel"]).T
-            if "bias" in node:
-                out[f"{tk}.bias"] = np.asarray(node["bias"])
-        elif kind == "conv2d" and "kernel" in node:
-            out[f"{tk}.weight"] = np.asarray(node["kernel"]).transpose(3, 2, 0, 1)
-            if "bias" in node:
-                out[f"{tk}.bias"] = np.asarray(node["bias"])
-        elif kind == "conv3d_t" and "kernel" in node:
-            out[f"{tk}.weight"] = np.asarray(node["kernel"]).transpose(3, 2, 0, 1)[
-                :, :, :, :, None
-            ]
-            if "bias" in node:
-                out[f"{tk}.bias"] = np.asarray(node["bias"])
-        elif kind == "norm" and "scale" in node:
-            out[f"{tk}.weight"] = np.asarray(node["scale"])
-            out[f"{tk}.bias"] = np.asarray(node["bias"])
-    return out
+    return export_state_dict(unet3d_key_map(cfg), params)
 
 
 def ip_adapter_site_paths(cfg: UNet3DConfig) -> List[Tuple]:
