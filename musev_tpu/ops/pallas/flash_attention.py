@@ -256,30 +256,58 @@ def flash_attention(
             sub = _split_sub_kv(d_p)
         part = _kv_capacity(d_p, sub)
         n_parts = _cdiv(sk, part)
-        o = m = l = None
-        for i in range(n_parts):
-            lo = i * part
-            hi = min(sk, lo + part)
-            ki = _pad_rows(kb[:, lo:hi], part)
-            vi = _pad_rows(vb[:, lo:hi], part)
-            oi, mi, li = _flash_unroll(
-                qb, ki, vi, scale, int(bq), int(sub), int(hi - lo),
-                with_stats=True,
-            )
-            oi = oi.astype(jnp.float32)
-            mi = mi[:, :, 0:1]
-            li = li[:, :, 0:1]
-            if o is None:
-                o, m, l = oi, mi, li
-            else:
-                m_new = jnp.maximum(m, mi)
-                w1 = jnp.exp2(m - m_new) * l
-                w2 = jnp.exp2(mi - m_new) * li
-                denom = jnp.where(w1 + w2 > 0, w1 + w2, 1.0)
-                o = (o * w1 + oi * w2) / denom
-                l = w1 + w2
-                m = m_new
-        out = o.astype(q.dtype)[:, :sq]
+
+        def _merge_parts(qc, kc, vc):
+            o = m = l = None
+            for i in range(n_parts):
+                lo = i * part
+                hi = min(sk, lo + part)
+                ki = _pad_rows(kc[:, lo:hi], part)
+                vi = _pad_rows(vc[:, lo:hi], part)
+                oi, mi, li = _flash_unroll(
+                    qc, ki, vi, scale, int(bq), int(sub), int(hi - lo),
+                    with_stats=True,
+                )
+                oi = oi.astype(jnp.float32)
+                mi = mi[:, :, 0:1]
+                li = li[:, :, 0:1]
+                if o is None:
+                    o, m, l = oi, mi, li
+                else:
+                    m_new = jnp.maximum(m, mi)
+                    w1 = jnp.exp2(m - m_new) * l
+                    w2 = jnp.exp2(mi - m_new) * li
+                    denom = jnp.where(w1 + w2 > 0, w1 + w2, 1.0)
+                    o = (o * w1 + oi * w2) / denom
+                    l = w1 + w2
+                    m = m_new
+            return o.astype(q.dtype)
+
+        # the f32 merge temps are lane-padded d->128 by XLA (3.2x at d=40),
+        # so at full bh x sq they dominate HBM (the 576^2 refnet program
+        # OOMed at 19 GB / 13% buffer utilization). Chunk bh with lax.map:
+        # the kernel compiles once, temps shrink n_chunks x, and the grid
+        # inside each chunk still has hundreds of blocks to pipeline.
+        bh_rows = qb.shape[0]
+        budget_rows = max(
+            1, 256 * 1024 * 1024 // (sq_p * max(_LANE, d_p) * 4)
+        )
+        bc = bh_rows
+        if bh_rows > budget_rows:
+            for cand in range(min(budget_rows, bh_rows - 1), 0, -1):
+                if bh_rows % cand == 0:
+                    bc = cand
+                    break
+        if bc == bh_rows:
+            out = _merge_parts(qb, kb, vb)[:, :sq]
+        else:
+            nc = bh_rows // bc
+            out = jax.lax.map(
+                lambda args: _merge_parts(*args),
+                (qb.reshape(nc, bc, *qb.shape[1:]),
+                 kb.reshape(nc, bc, *kb.shape[1:]),
+                 vb.reshape(nc, bc, *vb.shape[1:])),
+            ).reshape(bh_rows, sq_p, d_p)[:, :sq]
 
     out = out[:, :, :d].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
     return out
