@@ -47,6 +47,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--size", type=int, default=576)
+    ap.add_argument("--height", type=int, default=None,
+                    help="pixel height (default --size); use with --width "
+                         "for non-square runs, e.g. BASELINE config #5's "
+                         "704x1216")
+    ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--context-frames", type=int, default=12)
     ap.add_argument("--context-overlap", type=int, default=4)
@@ -59,11 +64,16 @@ def main():
                     help="round-1 comparability config: one 24-frame window")
     ap.add_argument("--preset", type=str, default="musev",
                     choices=["musev", "musev_referencenet",
-                             "musev_referencenet_pose"],
+                             "musev_referencenet_pose",
+                             "musev_referencenet_faceid"],
                     help="musev_referencenet adds ReferenceNet embs + "
                          "IP-Adapter tokens to the denoise step (BASELINE "
                          "config #2); _pose additionally runs a pose "
-                         "ControlNet over per-frame pose maps (config #3)")
+                         "ControlNet over per-frame pose maps (config #3); "
+                         "_faceid is the multi-reference IPAdapterFaceID "
+                         "branch (config #5: ReferenceNet + 2-image IP "
+                         "tokens + FaceID tokens), typically with "
+                         "--height 704 --width 1216")
     ap.add_argument("--scheduler", type=str, default="euler",
                     choices=["euler", "lcm"],
                     help="lcm = the reference's LCM-LoRA fast path "
@@ -106,7 +116,10 @@ def main():
                             layers_per_block=1, norm_num_groups=8)
         text_dim = 16
     elif args.preset.startswith("musev_referencenet"):
-        cfg = musev_referencenet_config()
+        over = {}
+        if args.preset == "musev_referencenet_faceid":
+            over = dict(need_ip_adapter_face=True)
+        cfg = musev_referencenet_config(**over)
         vae_cfg = VAEConfig()
         text_dim = cfg.cross_attention_dim
     else:
@@ -121,7 +134,9 @@ def main():
     vae_params = jax.device_put(fast_init(init_vae, vae_cfg, dtype=dtype, seed=1))
 
     t = args.frames
-    hw = args.size // 8
+    height = args.height or args.size
+    width = args.width or args.size
+    h0, w0 = height // 8, width // 8
     ctx = t if args.single_window else min(args.context_frames, t)
     overlap = 0 if args.single_window else args.context_overlap
     plan = make_window_plan(t, ctx, context_overlap=overlap)
@@ -152,8 +167,8 @@ def main():
         )
 
     spec = build_spec(plan)
-    lat = jax.random.normal(jax.random.fold_in(key, 2), (1, t, hw, hw, 4), dtype)
-    cond = jax.random.normal(jax.random.fold_in(key, 3), (1, 1, hw, hw, 4), dtype)
+    lat = jax.random.normal(jax.random.fold_in(key, 2), (1, t, h0, w0, 4), dtype)
+    cond = jax.random.normal(jax.random.fold_in(key, 3), (1, 1, h0, w0, 4), dtype)
     tu = jax.random.normal(jax.random.fold_in(key, 4), (1, 77, text_dim), dtype)
     tc = jax.random.normal(jax.random.fold_in(key, 5), (1, 77, text_dim), dtype)
 
@@ -161,17 +176,24 @@ def main():
     if args.preset.startswith("musev_referencenet") and not args.tiny:
         rcfg = ReferenceNetConfig()
         rparams = jax.device_put(fast_init(init_referencenet, rcfg, seed=2, dtype=dtype))
-        refer_lat = jax.random.normal(jax.random.fold_in(key, 6), (1, hw, hw, 4), dtype)
+        refer_lat = jax.random.normal(jax.random.fold_in(key, 6), (1, h0, w0, 4), dtype)
         down, mid, _ = referencenet_apply(
             rparams, rcfg, refer_lat, 0.0, tc
         )
+        # multi-reference (config #5): IP tokens from 2 reference images
+        n_ip_tok = 8 if args.preset == "musev_referencenet_faceid" else 4
         extra = dict(
             refer_embs=down,
             mid_refer_emb=mid,
             vision_clip_emb=jax.random.normal(
-                jax.random.fold_in(key, 7), (2, 4, text_dim), dtype
+                jax.random.fold_in(key, 7), (2, n_ip_tok, text_dim), dtype
             ),
         )
+        if args.preset == "musev_referencenet_faceid":
+            extra["ip_adapter_face_emb"] = jax.random.normal(
+                jax.random.fold_in(key, 9), (2, 4, cfg.ip_adapter_face_dim),
+                dtype,
+            )
         if cn_cfg is not None:
             from musev_tpu.models.controlnet import init_controlnet
 
@@ -181,7 +203,7 @@ def main():
             # per-frame pose maps in [0,1]: (B, n_vc + T, 8h, 8w, 3)
             extra["control_images"] = jax.random.uniform(
                 jax.random.fold_in(key, 8),
-                (1, 1 + t, args.size, args.size, 3), dtype,
+                (1, 1 + t, height, width, 3), dtype,
             )
 
     fn = jax.jit(denoise_loop, static_argnames=("spec",))
@@ -243,7 +265,7 @@ def main():
                 condition_latents=cond, **extra,
             )
             fp_model = fp_collective_model(
-                cfg, t=ctx + 1, h0=hw, w0=hw, n=n_chips,
+                cfg, t=ctx + 1, h0=h0, w0=w0, n=n_chips,
                 n_windows=plan.n_windows, do_cfg=True, n_vc=1,
             )
         else:
@@ -270,16 +292,19 @@ def main():
 
     e2e = denoise_s + decode_s
     fps_chip = args.frames / e2e
+    res_str = f"{height}^2" if height == width else f"{height}x{width}"
     result = {
-        "metric": "frames/sec/chip at 576^2, 24f VCPD plan (3x12f windows, "
-                  "CFG); projected v5e-8 e2e from measured per-shard work",
+        "metric": f"frames/sec/chip at {res_str}, {t}f VCPD plan "
+                  f"({plan.n_windows}x{ctx}f windows, CFG); projected "
+                  "v5e-8 e2e from measured per-shard work",
         "value": round(fps_chip, 3),
         "unit": "frames/s/chip",
         "e2e_seconds_per_1s_video": round(e2e, 3),
         "denoise_seconds": round(denoise_s, 3),
         "decode_seconds": round(decode_s, 3),
         "config": {
-            "frames": args.frames, "size": args.size, "steps": args.steps,
+            "frames": args.frames, "height": height, "width": width,
+            "steps": args.steps,
             "context_frames": ctx, "context_overlap": overlap,
             "n_windows": plan.n_windows, "tiny": bool(args.tiny),
             "preset": args.preset, "scheduler": args.scheduler,
@@ -289,7 +314,7 @@ def main():
     }
     # projected per-chip decode = measured ceil(T/8)-frame decode + the
     # decoded-pixel all-gather (b*T*H*W*3 bf16) over ICI
-    pixel_bytes = args.frames * args.size * args.size * 3 * 2
+    pixel_bytes = args.frames * height * width * 3 * 2
 
     def proj_decode(ici_bw):
         return decode_shard_s + pixel_bytes * (n_chips - 1) / n_chips / ici_bw
