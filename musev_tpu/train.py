@@ -38,6 +38,10 @@ class TrainSpec:
     # Activation memory scales 1/n: long videos that cannot fit one chip's
     # HBM train by adding chips instead of shrinking T.
     fp_axis: Optional[str] = None
+    # optax path (make_optimizer / train_step_opt): "sgd" or "adamw"
+    optimizer: str = "adamw"
+    weight_decay: float = 1e-2
+    max_grad_norm: float = 1.0
 
 
 def diffusion_loss(
@@ -230,3 +234,46 @@ def train_step(
         grads,
     )
     return new_params, loss
+
+
+def make_optimizer(spec: TrainSpec):
+    """Optax chain for ``spec.optimizer``. The plain ``train_step`` above is
+    the dependency-light SGD path; this gives the production trainer (AdamW +
+    global-norm clipping, the de-facto diffusion fine-tune recipe)."""
+    import optax
+
+    if spec.optimizer == "sgd":
+        return optax.sgd(spec.learning_rate)
+    if spec.optimizer == "adamw":
+        return optax.chain(
+            optax.clip_by_global_norm(spec.max_grad_norm),
+            optax.adamw(spec.learning_rate, weight_decay=spec.weight_decay),
+        )
+    raise ValueError(f"unknown optimizer {spec.optimizer!r}")
+
+
+def train_step_opt(
+    params,
+    opt_state,
+    spec: TrainSpec,
+    latents: jnp.ndarray,
+    text_emb: jnp.ndarray,
+    key: jax.Array,
+):
+    """One optimizer step with optax state threading (init the state with
+    ``make_optimizer(spec).init(params)``). Shards like ``train_step``:
+    batch over ``dp``, frames over ``spec.fp_axis``; the opt state is a
+    params-shaped pytree and follows the param sharding."""
+    tx = make_optimizer(spec)
+    loss, grads = jax.value_and_grad(diffusion_loss)(
+        params, spec, latents, text_emb, key
+    )
+    grads = jax.tree_util.tree_map(
+        lambda p, g: jnp.zeros_like(p) if g is None else g.astype(p.dtype),
+        params, grads,
+    )
+    updates, opt_state = tx.update(grads, opt_state, params)
+    new_params = jax.tree_util.tree_map(
+        lambda p, u: p + u.astype(p.dtype), params, updates
+    )
+    return new_params, opt_state, loss

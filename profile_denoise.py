@@ -24,47 +24,85 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main(trace_dir: str = "/tmp/musev_trace_prof", detail: int = 0,
-         windows: bool = False, shard: bool = False):
+         windows: bool = False, shard: bool = False, preset: str = "musev",
+         fp: bool = False):
     from musev_tpu.models.init_util import fast_init
-    from musev_tpu.models.unet3d import init_unet3d, musev_config
+    from musev_tpu.models.unet3d import (
+        init_unet3d,
+        musev_config,
+        musev_referencenet_config,
+    )
     from musev_tpu.ops.context import make_window_plan
     from musev_tpu.ops.guidance import guidance_schedule
     from musev_tpu.pipelines.denoiser import DenoiseSpec, denoise_loop
     from musev_tpu.schedulers.euler_discrete import EulerDiscreteScheduler
 
     dtype = jnp.bfloat16
-    cfg = musev_config()
+    if preset.startswith("musev_referencenet"):
+        cfg = musev_referencenet_config()
+    else:
+        cfg = musev_config()
     params = jax.device_put(fast_init(init_unet3d, cfg, dtype=dtype))
     _ = float(jax.tree_util.tree_leaves(params)[0].ravel()[0])
     t, hw = 24, 72
-    if shard:
-        # EXACTLY bench.py's per-shard workload: one 12-frame window, one
+    if fp:
+        # EXACTLY bench.py's fp per-shard program: the full overlap-4 plan
+        # with every (window, CFG, frame) row sharded 8 ways via StubComm.
+        ctx, overlap = 12, 4
+    elif shard:
+        # EXACTLY bench.py's dp per-shard workload: one 12-frame window, one
         # CFG half (the unit each v5e-8 chip owns under the overlap-8 dp
         # plan) — this is the number the projection multiplies.
         t, ctx, overlap = 12, 12, 0
     else:
         ctx = 12 if windows else t
         overlap = 4
+    do_cfg = fp or not shard
     spec = DenoiseSpec(
         unet_cfg=cfg,
         scheduler=EulerDiscreteScheduler.create(10),
         plan=make_window_plan(t, ctx, context_overlap=overlap),
         guidance=guidance_schedule(3.5, 10),
         n_vision_cond=1,
-        do_cfg=not shard,
+        do_cfg=do_cfg,
+        fp_stub_devices=8 if fp else None,
     )
     key = jax.random.PRNGKey(0)
     lat = jax.random.normal(key, (1, t, hw, hw, 4), dtype)
     cond = jax.random.normal(key, (1, 1, hw, hw, 4), dtype)
-    tu = None if shard else jax.random.normal(key, (1, 77, 768), dtype)
+    tu = None if not do_cfg else jax.random.normal(key, (1, 77, 768), dtype)
     tc = jax.random.normal(key, (1, 77, 768), dtype)
+    extra = {}
+    if preset.startswith("musev_referencenet"):
+        from musev_tpu.models.referencenet import (
+            ReferenceNetConfig,
+            init_referencenet,
+            referencenet_apply,
+        )
+
+        rcfg = ReferenceNetConfig()
+        rparams = jax.device_put(
+            fast_init(init_referencenet, rcfg, seed=2, dtype=dtype)
+        )
+        refer_lat = jax.random.normal(
+            jax.random.fold_in(key, 6), (1, hw, hw, 4), dtype
+        )
+        down, mid, _ = referencenet_apply(rparams, rcfg, refer_lat, 0.0, tc)
+        extra = dict(
+            refer_embs=down,
+            mid_refer_emb=mid,
+            vision_clip_emb=jax.random.normal(
+                jax.random.fold_in(key, 7),
+                (2 if do_cfg else 1, 4, cfg.cross_attention_dim), dtype,
+            ),
+        )
     fn = jax.jit(denoise_loop, static_argnames=("spec",))
-    out = fn(params, spec, lat, tu, tc, key, condition_latents=cond)
+    out = fn(params, spec, lat, tu, tc, key, condition_latents=cond, **extra)
     _ = float(out.ravel()[0])
 
     jax.profiler.start_trace(trace_dir)
     out = fn(params, spec, lat + jnp.bfloat16(1e-6), tu, tc, key,
-             condition_latents=cond)
+             condition_latents=cond, **extra)
     _ = float(out.ravel()[0])
     jax.profiler.stop_trace()
 
@@ -117,6 +155,10 @@ if __name__ == "__main__":
                     help="3x12-frame flagship window plan instead of 1x24")
     ap.add_argument("--shard", action="store_true",
                     help="bench.py per-shard workload: 1x12f window, no CFG")
+    ap.add_argument("--fp", action="store_true",
+                    help="bench.py fp per-shard program (StubComm, 8-way)")
+    ap.add_argument("--preset", type=str, default="musev",
+                    choices=["musev", "musev_referencenet"])
     ap.add_argument("--trace-dir", type=str, default="/tmp/musev_trace_prof")
     a = ap.parse_args()
-    main(a.trace_dir, a.detail, a.windows, a.shard)
+    main(a.trace_dir, a.detail, a.windows, a.shard, a.preset, a.fp)

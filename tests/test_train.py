@@ -32,3 +32,29 @@ def test_loss_without_condition():
     text = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 16))
     loss = diffusion_loss(params, spec, latents, text, jax.random.PRNGKey(3))
     assert np.isfinite(float(loss))
+
+
+def test_training_converges_20_steps():
+    """Multi-step convergence smoke (VERDICT r3 item 10): AdamW on a fixed
+    tiny batch must cut the diffusion loss roughly in half within 20 steps —
+    a trend check on top of the single-step decrease test above."""
+    from musev_tpu.train import make_optimizer, train_step_opt
+
+    params = init_unet3d(jax.random.PRNGKey(0), CFG)
+    spec = TrainSpec(unet_cfg=CFG, n_vision_cond=1, learning_rate=3e-4,
+                     optimizer="adamw")
+    latents = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 4, 4))
+    text = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 16))
+    opt_state = make_optimizer(spec).init(params)
+    step = jax.jit(train_step_opt, static_argnames=("spec",))
+    losses = []
+    for i in range(20):
+        # fixed key -> fixed noise/timesteps: a pure optimization trace
+        params, opt_state, loss = step(
+            params, opt_state, spec, latents, text, jax.random.PRNGKey(3)
+        )
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < 0.5 * losses[0], losses
+    # the trend is monotone-ish: the best-so-far keeps improving
+    assert min(losses[10:]) < min(losses[:10])
