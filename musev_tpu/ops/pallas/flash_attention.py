@@ -46,8 +46,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 _LANE = 128
 _LOG2E = 1.4426950408889634
+# long-KV strategy: "carry" (default; in-kernel KV-part grid with scratch
+# state) or "split" (unroll calls per part + exact XLA merge) for A/B runs
+_LONGKV_IMPL = os.environ.get("MUSEV_FLASH_LONGKV", "carry")
 # VMEM budget for resident K/V + q/s/acc tiles; the hardware scoped-vmem
 # limit is 16 MB (v5e), leave headroom for Mosaic's own double-buffering
 _UNROLL_VMEM_BUDGET = 9 * 1024 * 1024
@@ -157,6 +162,124 @@ def _flash_unroll(q, k, v, scale, block_q, sub_kv, sk, with_stats=False):
     return outs
 
 
+def _carry_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                  scale, sub_kv, sk, part, n_parts):
+    """One KV part per grid step; online-softmax state carried in scratch.
+
+    Grid is (bh, q_blocks, kv_parts) with parts innermost: the q block index
+    is constant across the inner loop (fetched once), K/V part fetches
+    double-buffer against compute, and (m, l, acc) live in VMEM scratch so
+    no stats/merge temps ever hit HBM — the XLA split-merge this replaces
+    wrote fp32 lane-padded (3.2x at d=40) partial outputs per part.
+    """
+    ip = pl.program_id(2)
+
+    @pl.when(ip == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
+    base = ip * part
+    for j in range(part // sub_kv):
+
+        def _sub_block(j=j):
+            m = m_scr[:, 0:1]
+            l = l_scr[:, 0:1]
+            acc = acc_scr[...]
+            kj = k_ref[0, j * sub_kv : (j + 1) * sub_kv, :]
+            vj = v_ref[0, j * sub_kv : (j + 1) * sub_kv, :]
+            s = jax.lax.dot_general(
+                q, kj, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # static skip: sub-block j needs masking only if it can
+            # overshoot sk in the last part (earlier parts always fit)
+            if (n_parts - 1) * part + (j + 1) * sub_kv > sk:
+                col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                       + base + j * sub_kv)
+                s = jnp.where(col < sk, s, -jnp.inf)
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m, m_cur)
+            p = jnp.exp2(s - m_new)
+            alpha = jnp.exp2(m - m_new)
+            l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p.astype(vj.dtype), vj, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_scr[:, 0:1] = m_new
+            l_scr[:, 0:1] = l
+            acc_scr[...] = acc
+
+        # dead-block skip: a sub-block wholly past sk (pad tail of the last
+        # part) contributes nothing — predicate it out so plans may pad the
+        # part up to a wide sub-block without paying for the pad in compute
+        if (n_parts - 1) * part + j * sub_kv >= sk:
+            pl.when(base + j * sub_kv < sk)(_sub_block)
+        else:
+            _sub_block()
+
+    @pl.when(ip == n_parts - 1)
+    def _store():
+        l = l_scr[:, 0:1]
+        safe_l = jnp.where(l > 0, l, 1.0)
+        o_ref[0] = (acc_scr[...] / safe_l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_q", "sub_kv", "part", "sk", "interpret"),
+)
+def _flash_carry(q, k, v, scale, block_q, sub_kv, part, sk, interpret=False):
+    bh, sq_p, d = q.shape
+    sk_p = k.shape[1]
+    n_parts = sk_p // part
+    grid = (bh, sq_p // block_q, n_parts)
+    return pl.pallas_call(
+        functools.partial(_carry_kernel, scale=scale, sub_kv=sub_kv, sk=sk,
+                          part=part, n_parts=n_parts),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, iq, ip: (b, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, part, d), lambda b, iq, ip: (b, ip, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, part, d), lambda b, iq, ip: (b, ip, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq, ip: (b, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 8), jnp.float32),
+            pltpu.VMEM((block_q, 8), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _carry_plan(sk: int, d_p: int) -> tuple:
+    """(n_parts, part, sub) for the carry path: balanced lane-aligned KV
+    parts sized to the unroll VMEM capacity, sub-block = largest lane-
+    aligned divisor of part <= the measured 2048 sweet spot (wider
+    sub-blocks amortize the VPU/MXU switchover)."""
+    cap = _kv_capacity(d_p, _LANE)
+    n_parts = _cdiv(sk, cap)
+    part = _cdiv(_cdiv(sk, n_parts), _LANE) * _LANE
+    sub = _LANE
+    for cand in range(2048, _LANE - 1, -_LANE):
+        if part % cand == 0:
+            sub = cand
+            break
+    return n_parts, part, sub
+
+
 def _bq_target(sq: int, sk: int, d_p: int) -> int:
     """Default q-block target: 576 (tuned at the 576^2 flagship, sq=5184);
     1024 when it tiles sq exactly and KV is small enough that the wider
@@ -242,6 +365,16 @@ def flash_attention(
         out = _flash_unroll(
             qb, _pad_rows(kb, sk_p), _pad_rows(vb, sk_p), scale,
             int(bq), int(sub), int(sk),
+        )[:, :sq]
+    elif _LONGKV_IMPL != "split":
+        # Long-KV default: one kernel, KV parts as an inner grid dimension,
+        # online-softmax state carried in VMEM scratch (_carry_kernel). No
+        # HBM stats/merge temps, no XLA merge stage.
+        n_parts, part, sub = _carry_plan(sk, d_p)
+        sk_p = n_parts * part
+        out = _flash_carry(
+            qb, _pad_rows(kb, sk_p), _pad_rows(vb, sk_p), scale,
+            int(bq), int(sub), int(part), int(sk),
         )[:, :sq]
     else:
         # KV split + exact merge: independent unroll calls per KV part,
