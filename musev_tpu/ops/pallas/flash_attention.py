@@ -268,7 +268,16 @@ def _carry_plan(sk: int, d_p: int) -> tuple:
     """(n_parts, part, sub) for the carry path: balanced lane-aligned KV
     parts sized to the unroll VMEM capacity, sub-block = largest lane-
     aligned divisor of part <= the measured 2048 sweet spot (wider
-    sub-blocks amortize the VPU/MXU switchover)."""
+    sub-blocks amortize the VPU/MXU switchover).
+
+    Sweep (v5e, 2026-08-19, bh=96 d=40 concat-KV shapes; ms per call):
+      sk=10368 (576^2 refnet): (3,3456,1152) 21.97 = best; (3,4096,1024)
+        22.98; (3,4096,2048) 23.28; (6,2048,2048) 26.04; (2,5376,672)
+        26.41; narrow sub (2,5248,128) collapses to 44.77 (18 TF/s).
+      sk=8192 (512^2 refnet): (2,4096,2048) 12.61 = best; (4,2048,2048)
+        12.78; (2,4224,128) 29.09.
+    part > ~5120 or bq >= 864 at part=4096/sub=2048 blows scoped VMEM
+    (Mosaic compile failure) — the dispatcher's bq<=576 never hits it."""
     cap = _kv_capacity(d_p, _LANE)
     n_parts = _cdiv(sk, cap)
     part = _cdiv(_cdiv(sk, n_parts), _LANE) * _LANE
