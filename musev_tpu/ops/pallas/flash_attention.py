@@ -162,6 +162,138 @@ def _flash_unroll(q, k, v, scale, block_q, sub_kv, sk, with_stats=False):
     return outs
 
 
+def _stream_kernel(q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *,
+                   scale, sub_kv, sk, n_sub, bq_inner):
+    """Long-KV flash: K/V streamed from HBM with double-buffered DMA.
+
+    Grid is (bh, q_chunks), both parallel — no serial KV grid dimension and
+    no scratch-carried softmax state (the two things that held the carry
+    kernel at ~39 TF/s vs the unroll kernel's ~48 on identical work). Each
+    grid step owns a LARGE resident q chunk; the KV extent is streamed past
+    it exactly once as a Python-unrolled loop (manual async copies double-
+    buffered against compute), with the inner q sub-blocks' (m, l, acc)
+    states all carried in registers. KV-outer / q-inner ordering is what
+    keeps the stream affordable: streaming per 576-row q block re-reads KV
+    sq/576 times and measured DMA-bound at 30 TF/s.
+
+    K/V arrive reshaped (bh, n_sub, sub_kv, 128): DMA slicing may only index
+    leading (untiled) dims, and a memref of logical lane extent 40 cannot be
+    sliced at all (physical tile is 128) — so this path pads d to a full
+    lane tile. MXU cost is unchanged (lanes were padded in-core anyway) and
+    the extra HBM bytes match what the padded physical layout already held."""
+    b = pl.program_id(0)
+    nq = q_ref.shape[1] // bq_inner
+
+    def dma(slot, j):
+        return pltpu.make_async_copy(
+            k_hbm.at[b, j], kbuf.at[slot], sems.at[slot, 0],
+        ), pltpu.make_async_copy(
+            v_hbm.at[b, j], vbuf.at[slot], sems.at[slot, 1],
+        )
+
+    for d0 in dma(0, 0):
+        d0.start()
+    # scale per sub-block: a whole-chunk fp32 intermediate costs ~2 MB of
+    # scoped VMEM at qc=2592 and tips the 16 MB limit
+    qs = [
+        (q_ref[0, i * bq_inner:(i + 1) * bq_inner].astype(jnp.float32)
+         * (scale * _LOG2E)).astype(q_ref.dtype)
+        for i in range(nq)
+    ]
+    m = [None] * nq
+    l = [None] * nq
+    acc = [None] * nq
+    for j in range(n_sub):
+        slot = j % 2
+        if j + 1 < n_sub:
+            for dn in dma(1 - slot, j + 1):
+                dn.start()
+        for dc in dma(slot, j):
+            dc.wait()
+        kj = kbuf[slot]
+        vj = vbuf[slot]
+        for i in range(nq):
+            s = jax.lax.dot_general(
+                qs[i], kj, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if (j + 1) * sub_kv > sk:  # static: only the padded tail block
+                col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                       + j * sub_kv)
+                s = jnp.where(col < sk, s, -jnp.inf)
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            if m[i] is None:
+                m_new = m_cur
+                p = jnp.exp2(s - m_new)
+                l[i] = jnp.sum(p, axis=-1, keepdims=True)
+                acc[i] = jax.lax.dot_general(
+                    p.astype(vj.dtype), vj, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                m_new = jnp.maximum(m[i], m_cur)
+                p = jnp.exp2(s - m_new)
+                alpha = jnp.exp2(m[i] - m_new)
+                l[i] = alpha * l[i] + jnp.sum(p, axis=-1, keepdims=True)
+                acc[i] = acc[i] * alpha + jax.lax.dot_general(
+                    p.astype(vj.dtype), vj, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            m[i] = m_new
+    for i in range(nq):
+        safe_l = jnp.where(l[i] > 0, l[i], 1.0)
+        o_ref[0, i * bq_inner:(i + 1) * bq_inner] = (
+            acc[i] / safe_l
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_q", "sub_kv", "sk", "bq_inner",
+                     "interpret"),
+)
+def _flash_stream(q, k, v, scale, block_q, sub_kv, sk, bq_inner=576,
+                  interpret=False):
+    bh, sq_p, d = q.shape
+    sk_p = k.shape[1]
+    if d != _LANE:  # full lane tile required for manual-DMA slicing
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, _LANE - d)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, _LANE - d)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, _LANE - d)))
+    dp = _LANE
+    n_sub = _cdiv(sk_p, sub_kv)
+    if n_sub * sub_kv != sk_p:  # tail rows masked via sk in-kernel
+        k = _pad_rows(k, n_sub * sub_kv)
+        v = _pad_rows(v, n_sub * sub_kv)
+    k = k.reshape(bh, n_sub, sub_kv, dp)
+    v = v.reshape(bh, n_sub, sub_kv, dp)
+    grid = (bh, sq_p // block_q)
+    out = pl.pallas_call(
+        functools.partial(_stream_kernel, scale=scale, sub_kv=sub_kv, sk=sk,
+                          n_sub=n_sub, bq_inner=bq_inner),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, iq: (b, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dp), lambda b, iq: (b, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, sub_kv, dp), q.dtype),
+            pltpu.VMEM((2, sub_kv, dp), q.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :, :d] if d != dp else out
+
+
 def _carry_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
                   scale, sub_kv, sk, part, n_parts):
     """One KV part per grid step; online-softmax state carried in scratch.
@@ -277,10 +409,19 @@ def _carry_plan(sk: int, d_p: int) -> tuple:
       sk=8192 (512^2 refnet): (2,4096,2048) 12.61 = best; (4,2048,2048)
         12.78; (2,4224,128) 29.09.
     part > ~5120 or bq >= 864 at part=4096/sub=2048 blows scoped VMEM
-    (Mosaic compile failure) — the dispatcher's bq<=576 never hits it."""
-    cap = _kv_capacity(d_p, _LANE)
+    (Mosaic compile failure) — the dispatcher's bq<=576 never hits it.
+
+    The part cap is 4608, NOT the unroll capacity 5184: the formula at
+    cap=5184 picked (2, 5184, 1728) for sk=10368, which both flirts with
+    the >~5120 VMEM cliff and measured 27.9 ms vs the sweep-best 3-part
+    plan's 21.97 — balanced parts under ~4.6k rows are uniformly faster."""
+    cap = min(_kv_capacity(d_p, _LANE), 4608)
     n_parts = _cdiv(sk, cap)
     part = _cdiv(_cdiv(sk, n_parts), _LANE) * _LANE
+    if part <= 3456 and d_p <= _LANE:
+        # one sub-block per part measured fastest where its fp32 logits
+        # tile fits: (3,3456,3456) 20.4 ms vs (3,3456,1152) 21.5
+        return n_parts, part, part
     sub = _LANE
     for cand in range(2048, _LANE - 1, -_LANE):
         if part % cand == 0:

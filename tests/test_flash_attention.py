@@ -86,3 +86,48 @@ def test_carry_only_used_beyond_unroll_capacity():
     # unroll kernel (carry's extra grid dim costs grid overhead there)
     d_p = 40
     assert fa._kv_capacity(max(d_p, fa._LANE), 8) >= 4096
+
+
+def _run_stream(q, k, v, scale, qc, sub, bqi):
+    """Drive _flash_stream with explicit chunk/sub-block choices."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    d_p = d if d % 8 == 0 else fa._cdiv(d, 8) * 8
+
+    def to_bh(x, s):
+        x = x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+        if d_p != d:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, d_p - d)))
+        return x
+
+    sq_p = fa._cdiv(sq, qc) * qc
+    sk_p = fa._cdiv(sk, sub) * sub
+    out = fa._flash_stream(
+        fa._pad_rows(to_bh(q, sq), sq_p),
+        fa._pad_rows(to_bh(k, sk), sk_p),
+        fa._pad_rows(to_bh(v, sk), sk_p),
+        float(scale), int(qc), int(sub), int(sk), int(bqi),
+        interpret=True,
+    )
+    return out[:, :sq, :d].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+
+
+@pytest.mark.parametrize(
+    "sq,sk,d,h,qc,sub,bqi",
+    [
+        (1296, 10368, 40, 1, 648, 1152, 216),  # 576^2 concat-KV shape family
+        (1024, 8192, 40, 2, 512, 1024, 256),   # 512^2, two heads
+        (200, 6000, 64, 1, 200, 1024, 200),    # ragged: sk pad-masked tail
+    ],
+)
+def test_stream_matches_dense(sq, sk, d, h, qc, sub, bqi):
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(3 * sq + sk), 3)
+    q = jax.random.normal(kq, (1, sq, h, d), jnp.float32)
+    k = jax.random.normal(kk, (1, sk, h, d), jnp.float32)
+    v = jax.random.normal(kv, (1, sk, h, d), jnp.float32)
+    scale = d**-0.5
+    out = _run_stream(q, k, v, scale, qc, sub, bqi)
+    want = _dense_ref(q, k, v, scale)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(want), atol=2e-3, rtol=2e-3
+    )
