@@ -213,15 +213,35 @@ def main():
         # host readback of one element forces completion
         _ = float(jnp.ravel(x)[0])
 
-    def time_call(f, *a, **kw):
+    def time_call(f, *a, vary=None, **kw):
+        """Best-of-2 pipelined timing.
+
+        Queues ``iters`` dispatches back-to-back and syncs once: a per-call
+        readback charges a full tunnel RTT + host dispatch to every
+        iteration (~0.38 s on the 10-step 576^2 shard program — device-busy
+        2.834 s vs 3.214 s measured per-call), overhead a real deployment's
+        pipelined dispatch never pays. ``vary``: index of a float-array
+        positional arg to perturb per call, defeating the relay's by-value
+        result cache without a readback between calls.
+        """
         out = f(*a, **kw)  # warmup/compile
         sync(out)
-        best = float("inf")
+        variants = []
         for i in range(args.iters):
+            av = list(a)
+            if vary is not None:
+                eps = jnp.asarray(1e-6 * (i + 1), a[vary].dtype)
+                av[vary] = a[vary] + eps
+            variants.append(av)
+        if vary is not None:
+            jax.block_until_ready([av[vary] for av in variants])
+        best = float("inf")
+        for _ in range(2):
             t0 = time.perf_counter()
-            out = f(*a, **kw)
+            for av in variants:
+                out = f(*av, **kw)
             sync(out)
-            best = min(best, time.perf_counter() - t0)
+            best = min(best, (time.perf_counter() - t0) / args.iters)
         return best, out
 
     # NOTE on inputs: the axon relay caches by value, but denoise_loop output
@@ -229,14 +249,15 @@ def main():
     # scheme) forced a fresh transfer into the timed region instead. The
     # readback sync already defeats result caching.
     denoise_s, out = time_call(
-        fn, params, spec, lat, tu, tc, key, condition_latents=cond, **extra
+        fn, params, spec, lat, tu, tc, key, vary=2,
+        condition_latents=cond, **extra
     )
 
     decode_s = 0.0
     decode_shard_s = 0.0
     if not args.no_decode:
         dec = lambda l: vae_decode_video(vae_params, vae_cfg, l, segment=8)
-        decode_s, _ = time_call(dec, out)
+        decode_s, _ = time_call(dec, out, vary=0)
         # per-chip share of the mesh-sharded frame-parallel decode
         # (vae_decode_video(mesh=, axis=)): ceil(T/8) frames, MEASURED —
         # the projection no longer assumes decode_s/8
@@ -244,7 +265,9 @@ def main():
         dec_shard = lambda l: vae_decode_video(
             vae_params, vae_cfg, l, segment=shard_frames
         )
-        decode_shard_s, _ = time_call(dec_shard, out[:, :shard_frames])
+        decode_shard_s, _ = time_call(
+            dec_shard, out[:, :shard_frames], vary=0
+        )
 
     # per-chip workload under the chosen topology
     shard_denoise_s = None
@@ -261,7 +284,7 @@ def main():
 
             fp_spec = build_spec(plan, fp_stub_devices=n_chips)
             shard_denoise_s, _ = time_call(
-                fn, params, fp_spec, lat, tu, tc, key,
+                fn, params, fp_spec, lat, tu, tc, key, vary=2,
                 condition_latents=cond, **extra,
             )
             fp_model = fp_collective_model(
@@ -286,7 +309,7 @@ def main():
 
             shard_extra = {k: shard_slice(k, v) for k, v in extra.items()}
             shard_denoise_s, _ = time_call(
-                fn, params, shard_spec, shard_lat, None, tc, key,
+                fn, params, shard_spec, shard_lat, None, tc, key, vary=2,
                 condition_latents=cond, **shard_extra,
             )
 
