@@ -836,7 +836,13 @@ def fp_collective_model(
         sites.append((0, "tattn"))
 
     halo = a2a = vis = gn = 0.0
-    n_coll = 0
+    # launch counts by collective kind, validated against the real shard_map
+    # lowering in tests/test_frame_parallel.py (counts of stablehlo ops in
+    # jit(...).lower().as_text()): ppermutes run per sublayer x direction
+    # (group halos move in one call), GN-stats psums run once per site over
+    # stats stacked across CFG groups, but the pixel pivot all_to_alls run
+    # inside each group's local computation, hence x reps.
+    counts = {"collective_permute": 0, "all_reduce": 0, "all_to_all": 0}
     ring = 2.0 * (n - 1) / n  # all-reduce bytes factor
     ag = (n - 1) / n  # all-gather / all_to_all bytes factor
     for lev, kind in sites:
@@ -846,18 +852,22 @@ def fp_collective_model(
         if kind == "tconv":
             halo += 4 * 2 * reps * row_b  # 1 boundary row/group/dir/sublayer
             gn += 4 * ring * (reps * n_windows) * 2 * c * 4  # f32 moments
-            n_coll += 4 * 3
+            counts["collective_permute"] += 4 * 2
+            counts["all_reduce"] += 4
         elif kind == "tattn":
             hw_pad = -(-hh * ww // n) * n
             a2a += 2 * ag * l_tot * hw_pad * c * itemsize
             gn += ring * (reps * n_windows) * 2 * c * 4
-            n_coll += 3
+            counts["all_to_all"] += 2 * reps
+            counts["all_reduce"] += 1
         elif kind == "spatial" and n_vc > 0 and t > 1:
             vis += ring * n_windows * n_vc * hh * ww * c * itemsize
-            n_coll += 1
-    # output rows all-gather for the replicated overlap scatter-add
+            counts["all_reduce"] += 1
+    # output rows all-gather for the replicated overlap scatter-add (happens
+    # at the sharded output's replicated consumption point, outside the
+    # lowered shard_map body)
     out_gather = ag * reps * rows_g * h0 * w0 * cfg.out_channels * itemsize
-    n_coll += 1
+    n_coll = sum(counts.values()) + 1
     total = halo + a2a + vis + gn + out_gather
     return {
         "bytes_per_step": total,
@@ -867,6 +877,7 @@ def fp_collective_model(
         "gn_psum_bytes": gn,
         "out_gather_bytes": out_gather,
         "collectives_per_step": n_coll,
+        "counts_by_kind": counts,
         "local_rows": l_tot,
     }
 
