@@ -87,6 +87,13 @@ def main():
                          "measured via the StubComm single-chip program); "
                          "dp is the window-batch sharding (one window x one "
                          "CFG half per chip)")
+    ap.add_argument("--per-call-sync", action="store_true",
+                    help="time with a host readback after EVERY call "
+                         "(round-3 methodology) instead of pipelined "
+                         "dispatch; charges a full tunnel RTT per iteration "
+                         "but gives an r3-comparable number")
+    ap.add_argument("--no-canary", action="store_true",
+                    help="skip the chip-speed canary matmul")
     args = ap.parse_args()
 
     from musev_tpu.models.init_util import fast_init
@@ -214,15 +221,16 @@ def main():
         _ = float(jnp.ravel(x)[0])
 
     def time_call(f, *a, vary=None, **kw):
-        """Best-of-2 pipelined timing.
+        """Best-of-2 timing; pipelined dispatch by default.
 
         Queues ``iters`` dispatches back-to-back and syncs once: a per-call
         readback charges a full tunnel RTT + host dispatch to every
         iteration (~0.38 s on the 10-step 576^2 shard program — device-busy
         2.834 s vs 3.214 s measured per-call), overhead a real deployment's
-        pipelined dispatch never pays. ``vary``: index of a float-array
-        positional arg to perturb per call, defeating the relay's by-value
-        result cache without a readback between calls.
+        pipelined dispatch never pays. --per-call-sync restores the round-3
+        readback-per-iteration methodology for comparable deltas. ``vary``:
+        index of a float-array positional arg to perturb per call, defeating
+        the relay's by-value result cache without a readback between calls.
         """
         out = f(*a, **kw)  # warmup/compile
         sync(out)
@@ -240,9 +248,31 @@ def main():
             t0 = time.perf_counter()
             for av in variants:
                 out = f(*av, **kw)
-            sync(out)
+                if args.per_call_sync:
+                    sync(out)
+            if not args.per_call_sync:
+                sync(out)
             best = min(best, (time.perf_counter() - t0) / args.iters)
         return best, out
+
+    def chip_canary():
+        """Fixed-work chip-speed canary: best-of-10 pipelined 4096^3 bf16
+        matmul, reported as TF/s. Sessions on this tunnel show ~30% speed
+        variance (commit 50f4c3b); recording the canary alongside every
+        bench row separates regressions from session luck."""
+        k = jax.random.PRNGKey(42)
+        x = jax.random.normal(k, (4096, 4096), jnp.bfloat16)
+        mm = jax.jit(lambda a: a @ a)
+        o = mm(x)
+        sync(o)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(10):
+                o = mm(o)
+            sync(o)
+            best = min(best, (time.perf_counter() - t0) / 10)
+        return 2 * 4096**3 / best / 1e12
 
     # NOTE on inputs: the axon relay caches by value, but denoise_loop output
     # depends on the RNG key path; perturbing latents each iter (round-1
@@ -334,7 +364,12 @@ def main():
             "topology": args.topology,
             "backend": jax.default_backend(),
         },
+        "timing_method": (
+            "per_call_sync" if args.per_call_sync else "pipelined_dispatch"
+        ),
     }
+    if not args.no_canary and not args.tiny:
+        result["canary_matmul_tflops"] = round(chip_canary(), 1)
     # projected per-chip decode = measured ceil(T/8)-frame decode + the
     # decoded-pixel all-gather (b*T*H*W*3 bf16) over ICI
     pixel_bytes = args.frames * height * width * 3 * 2

@@ -837,7 +837,8 @@ def fp_collective_model(
 
     halo = a2a = vis = gn = 0.0
     # launch counts by collective kind, validated against the real shard_map
-    # lowering in tests/test_frame_parallel.py (counts of stablehlo ops in
+    # lowering by tests/test_frame_parallel.py::
+    # test_fp_collective_counts_match_lowering (counts of stablehlo ops in
     # jit(...).lower().as_text()): ppermutes run per sublayer x direction
     # (group halos move in one call), GN-stats psums run once per site over
     # stats stacked across CFG groups, but the pixel pivot all_to_alls run
@@ -865,9 +866,11 @@ def fp_collective_model(
             counts["all_reduce"] += 1
     # output rows all-gather for the replicated overlap scatter-add (happens
     # at the sharded output's replicated consumption point, outside the
-    # lowered shard_map body)
+    # lowered shard_map body — GSPMD inserts it at compile time, so it does
+    # not appear in the pre-optimization StableHLO the op-count test checks)
     out_gather = ag * reps * rows_g * h0 * w0 * cfg.out_channels * itemsize
-    n_coll = sum(counts.values()) + 1
+    counts["all_gather"] = 1
+    n_coll = sum(counts.values())
     total = halo + a2a + vis + gn + out_gather
     return {
         "bytes_per_step": total,

@@ -136,6 +136,46 @@ def test_fp_stub_comm_shapes():
     assert bool(jnp.isfinite(out).all())
 
 
+def test_fp_collective_counts_match_lowering():
+    """fp_collective_model's counts_by_kind matches the real shard_map
+    lowering: count stablehlo collective ops in jit(...).lower().as_text().
+    The output all-gather is excluded — it happens at the sharded output's
+    replicated consumption point and is inserted by GSPMD at compile time,
+    so it never appears in the pre-optimization StableHLO."""
+    import re
+
+    from musev_tpu.parallel.frame_parallel import fp_collective_model
+
+    cfg = tiny_cfg()
+    params = init_unet3d(jax.random.key(20), cfg)
+    sample, cond, text = make_inputs(jax.random.key(21), b=6, t=5)
+    kwargs = dict(
+        condition_latents=cond, gen_index=tuple(range(1, 5)),
+        cond_index=(0,), do_cfg=True,
+    )
+    mesh = make_mesh((8,), ("fp",))
+    with jax.set_mesh(mesh):
+        lowered = jax.jit(
+            lambda p, s, ts, te: unet3d_apply_fp(p, cfg, s, ts, te, **kwargs)
+        ).lower(params, sample, jnp.asarray(7.0), text)
+    txt = lowered.as_text()
+    got = {
+        k: len(re.findall(rf"stablehlo\.{k}\b", txt))
+        for k in ("collective_permute", "all_reduce", "all_to_all")
+    }
+    model = fp_collective_model(
+        cfg, t=5, h0=8, w0=8, n=8, n_windows=3, do_cfg=True, n_vc=1
+    )
+    expect = {
+        k: v for k, v in model["counts_by_kind"].items() if k != "all_gather"
+    }
+    assert got == expect
+    # counts_by_kind (incl. the out-of-body all-gather) sums to the total
+    assert sum(model["counts_by_kind"].values()) == (
+        model["collectives_per_step"]
+    )
+
+
 def test_group_meta_padding():
     g = GroupMeta(n_batch=3, t=13, n=8, use_ref=True)
     assert g.rows == 39 and g.rows_pad == 40 and g.local == 5 and g.pad == 1
