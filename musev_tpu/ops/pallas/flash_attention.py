@@ -295,7 +295,7 @@ def _flash_stream(q, k, v, scale, block_q, sub_kv, sk, bq_inner=576,
 
 
 def _carry_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                  scale, sub_kv, sk, part, n_parts):
+                  scale, sub_kv, sk, part, n_parts, n_qsub):
     """One KV part per grid step; online-softmax state carried in scratch.
 
     Grid is (bh, q_blocks, kv_parts) with parts innermost: the q block index
@@ -303,6 +303,23 @@ def _carry_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     double-buffer against compute, and (m, l, acc) live in VMEM scratch so
     no stats/merge temps ever hit HBM — the XLA split-merge this replaces
     wrote fp32 lane-padded (3.2x at d=40) partial outputs per part.
+
+    Two pipelining levers close the gap to the resident unroll kernel (the
+    round-4 carry kernel ran ~35 vs 47 TF/s because each grid step was one
+    serialized QK^T -> softmax -> PV chain, leaving the VPU softmax exposed
+    on the critical path):
+
+    * the (m, l, acc) state is read from scratch ONCE per part and carried
+      in registers across the KV sub-blocks, so the unrolled body is
+      straight-line and Mosaic overlaps sub-block j+1's QK^T (MXU) with
+      sub-block j's softmax (VPU) — exactly the unroll kernel's schedule;
+    * ``n_qsub`` splits the q block into independent row chunks with
+      separate softmax states: even at one KV sub-block per part the
+      chunks' chains interleave (chunk B's QK^T hides chunk A's softmax).
+
+    A sub-block wholly past ``sk`` (pad tail) is exact as straight-line
+    code: its columns mask to -inf, so m_cur=-inf keeps m (finite — part 0
+    always holds real columns), p underflows to 0 and alpha=1.
     """
     ip = pl.program_id(2)
 
@@ -312,18 +329,23 @@ def _carry_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
+    bq = q_ref.shape[1]
+    qc = bq // n_qsub
     base = ip * part
+    qs, m, l, acc = [], [], [], []
+    for i in range(n_qsub):
+        r = slice(i * qc, (i + 1) * qc)
+        qs.append((q_ref[0, r].astype(jnp.float32)
+                   * (scale * _LOG2E)).astype(q_ref.dtype))
+        m.append(m_scr[r, 0:1])
+        l.append(l_scr[r, 0:1])
+        acc.append(acc_scr[r, :])
     for j in range(part // sub_kv):
-
-        def _sub_block(j=j):
-            m = m_scr[:, 0:1]
-            l = l_scr[:, 0:1]
-            acc = acc_scr[...]
-            kj = k_ref[0, j * sub_kv : (j + 1) * sub_kv, :]
-            vj = v_ref[0, j * sub_kv : (j + 1) * sub_kv, :]
+        kj = k_ref[0, j * sub_kv : (j + 1) * sub_kv, :]
+        vj = v_ref[0, j * sub_kv : (j + 1) * sub_kv, :]
+        for i in range(n_qsub):
             s = jax.lax.dot_general(
-                q, kj, (((1,), (1,)), ((), ())),
+                qs[i], kj, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             # static skip: sub-block j needs masking only if it can
@@ -333,45 +355,49 @@ def _carry_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
                        + base + j * sub_kv)
                 s = jnp.where(col < sk, s, -jnp.inf)
             m_cur = jnp.max(s, axis=-1, keepdims=True)
-            m_new = jnp.maximum(m, m_cur)
+            m_new = jnp.maximum(m[i], m_cur)
             p = jnp.exp2(s - m_new)
-            alpha = jnp.exp2(m - m_new)
-            l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc * alpha + jax.lax.dot_general(
+            alpha = jnp.exp2(m[i] - m_new)
+            l[i] = alpha * l[i] + jnp.sum(p, axis=-1, keepdims=True)
+            acc[i] = acc[i] * alpha + jax.lax.dot_general(
                 p.astype(vj.dtype), vj, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            m_scr[:, 0:1] = m_new
-            l_scr[:, 0:1] = l
-            acc_scr[...] = acc
-
-        # dead-block skip: a sub-block wholly past sk (pad tail of the last
-        # part) contributes nothing — predicate it out so plans may pad the
-        # part up to a wide sub-block without paying for the pad in compute
-        if (n_parts - 1) * part + j * sub_kv >= sk:
-            pl.when(base + j * sub_kv < sk)(_sub_block)
-        else:
-            _sub_block()
+            m[i] = m_new
+    for i in range(n_qsub):
+        r = slice(i * qc, (i + 1) * qc)
+        m_scr[r, 0:1] = m[i]
+        l_scr[r, 0:1] = l[i]
+        acc_scr[r, :] = acc[i]
 
     @pl.when(ip == n_parts - 1)
     def _store():
-        l = l_scr[:, 0:1]
-        safe_l = jnp.where(l > 0, l, 1.0)
-        o_ref[0] = (acc_scr[...] / safe_l).astype(o_ref.dtype)
+        for i in range(n_qsub):
+            r = slice(i * qc, (i + 1) * qc)
+            safe_l = jnp.where(l[i] > 0, l[i], 1.0)
+            o_ref[0, r] = (acc[i] / safe_l).astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "block_q", "sub_kv", "part", "sk", "interpret"),
+    static_argnames=("scale", "block_q", "sub_kv", "part", "sk", "n_qsub",
+                     "interpret"),
 )
-def _flash_carry(q, k, v, scale, block_q, sub_kv, part, sk, interpret=False):
+def _flash_carry(q, k, v, scale, block_q, sub_kv, part, sk, n_qsub=1,
+                 interpret=False):
     bh, sq_p, d = q.shape
     sk_p = k.shape[1]
+    if block_q % n_qsub or (block_q // n_qsub) % 8:
+        # a non-dividing split would silently drop q rows via bad slices
+        raise ValueError(
+            f"n_qsub={n_qsub} must divide block_q={block_q} into 8-row-"
+            "aligned chunks"
+        )
     n_parts = sk_p // part
     grid = (bh, sq_p // block_q, n_parts)
     return pl.pallas_call(
         functools.partial(_carry_kernel, scale=scale, sub_kv=sub_kv, sk=sk,
-                          part=part, n_parts=n_parts),
+                          part=part, n_parts=n_parts, n_qsub=n_qsub),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, iq, ip: (b, iq, 0),
@@ -428,6 +454,17 @@ def _carry_plan(sk: int, d_p: int) -> tuple:
             sub = cand
             break
     return n_parts, part, sub
+
+
+def _carry_qsub(bq: int) -> int:
+    """Independent q register-state chunks per carry grid step (provisional
+    2 pending the on-chip sweep): two chunks' QK^T/softmax chains interleave
+    so the VPU softmax of one hides behind the MXU matmul of the other, even
+    with a single KV sub-block per part. Chunks must stay 8-row aligned."""
+    for n in (2, 1):
+        if bq % n == 0 and (bq // n) % 8 == 0:
+            return n
+    return 1
 
 
 def _bq_target(sq: int, sk: int, d_p: int) -> int:
@@ -525,6 +562,7 @@ def flash_attention(
         out = _flash_carry(
             qb, _pad_rows(kb, sk_p), _pad_rows(vb, sk_p), scale,
             int(bq), int(sub), int(part), int(sk),
+            n_qsub=_carry_qsub(bq),
         )[:, :sq]
     else:
         # KV split + exact merge: independent unroll calls per KV part,

@@ -1,0 +1,108 @@
+"""Long-KV carry-kernel pipelining sweep (VERDICT r4 item 3).
+
+Round 4's carry kernel ran the 576^2 ReferenceOnly concat-KV shape
+(bh=96, sq=5184, sk=10368, d=40 — reference attention_processor.py:443-493)
+at ~34.7 TF/s vs the resident unroll kernel's 47 TF/s on identical work:
+with the swept-best (3, 3456, 3456) plan each grid step was ONE serialized
+QK^T -> softmax -> PV chain, so the VPU softmax sat exposed on the critical
+path (~29% of step time by the MXU/VPU cost model).
+
+This sweep measures the two round-5 pipelining levers:
+  * register-carried (m, l, acc) across KV sub-blocks within a part
+    (scratch round-trip only at part boundaries) — lets Mosaic overlap
+    sub-block j+1's QK^T with sub-block j's softmax, the unroll kernel's
+    schedule;
+  * n_qsub independent q register-state chunks — chunk B's QK^T hides
+    chunk A's softmax even at one KV sub-block per part.
+
+Run on the axon TPU env:  python scripts/bench_longkv_carry.py
+"""
+
+import itertools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from musev_tpu.ops.pallas import flash_attention as fa  # noqa: E402
+
+
+def sync(x):
+    _ = float(jnp.ravel(x)[0])
+
+
+def timeit(f, *args, iters=10, **kw):
+    sync(f(*args, **kw))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f(*args, **kw)
+        sync(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def main():
+    assert jax.default_backend() == "tpu", "run on the TPU (axon) env"
+    bh, sq, sk, d = 96, 5184, 10368, 40
+    if len(sys.argv) > 1:
+        bh, sq, sk, d = (int(x) for x in sys.argv[1:5])
+    dt = jnp.bfloat16
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (bh, sq, d), dt)
+    k = jax.random.normal(kk, (bh, sk, d), dt)
+    v = jax.random.normal(kv, (bh, sk, d), dt)
+    scale = d**-0.5
+    flops = 4 * bh * sq * sk * d
+
+    # chip-speed canary so sweeps from different sessions compare
+    x = jax.random.normal(kq, (4096, 4096), dt)
+    mm = jax.jit(lambda a: a @ a)
+    t = timeit(mm, x)
+    print(f"canary 4096^3 bf16: {2 * 4096**3 / t / 1e12:.1f} TF/s")
+
+    bq = fa._pick_block(sq, fa._bq_target(sq, sk, d))
+    sq_p = fa._cdiv(sq, bq) * bq
+    qb = fa._pad_rows(q, sq_p)
+
+    def run(part, sub, n_qsub, bq=bq, qb=qb):
+        n_parts = fa._cdiv(sk, part)
+        sk_p = n_parts * part
+        kb = fa._pad_rows(k, sk_p)
+        vb = fa._pad_rows(v, sk_p)
+        return timeit(
+            fa._flash_carry, qb, kb, vb, float(scale), int(bq), int(sub),
+            int(part), int(sk), n_qsub=int(n_qsub),
+        )
+
+    print(f"shape bh={bh} sq={sq} sk={sk} d={d}  bq={bq}")
+    plans = [
+        (3456, 3456), (3456, 1728), (3456, 1152), (3456, 576),
+        (4608, 1152), (4608, 2304),
+    ]
+    qsubs = [1, 2, 3, 4]
+    rows = []
+    for (part, sub), nq in itertools.product(plans, qsubs):
+        if bq % nq or (bq // nq) % 8:
+            continue
+        try:
+            t = run(part, sub, nq)
+        except Exception as e:  # VMEM cliff: record and move on
+            print(f"part={part:5d} sub={sub:5d} n_qsub={nq}  FAIL "
+                  f"{type(e).__name__}: {str(e)[:80]}")
+            continue
+        rows.append((t, part, sub, nq))
+        print(f"part={part:5d} sub={sub:5d} n_qsub={nq}  "
+              f"{t * 1e3:7.2f} ms  {flops / t / 1e12:5.1f} TF/s")
+    rows.sort()
+    t, part, sub, nq = rows[0]
+    print(f"BEST part={part} sub={sub} n_qsub={nq}  {t * 1e3:.2f} ms  "
+          f"{flops / t / 1e12:.1f} TF/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -24,7 +24,7 @@ def _dense_ref(q, k, v, scale):
     return jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
 
 
-def _run_carry(q, k, v, scale):
+def _run_carry(q, k, v, scale, n_qsub=None):
     """Drive _flash_carry with the dispatcher's own padding/plan math."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
@@ -39,32 +39,36 @@ def _run_carry(q, k, v, scale):
     bq = fa._pick_block(sq, fa._bq_target(sq, sk, d_p))
     sq_p = fa._cdiv(sq, bq) * bq
     n_parts, part, sub = fa._carry_plan(sk, d_p)
+    if n_qsub is None:
+        n_qsub = fa._carry_qsub(bq)
     sk_p = n_parts * part
     out = fa._flash_carry(
         fa._pad_rows(to_bh(q, sq), sq_p),
         fa._pad_rows(to_bh(k, sk), sk_p),
         fa._pad_rows(to_bh(v, sk), sk_p),
         float(scale), int(bq), int(sub), int(part), int(sk),
-        interpret=True,
+        n_qsub=int(n_qsub), interpret=True,
     )
     return out[:, :sq, :d].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
 
 
 @pytest.mark.parametrize(
-    "sq,sk,d,h",
+    "sq,sk,d,h,n_qsub",
     [
-        (640, 8192, 40, 2),   # 512^2 ReferenceOnly concat-KV (two parts)
-        (192, 10368, 40, 1),  # 576^2 concat-KV (three uneven parts + tail)
-        (200, 6000, 64, 2),   # non-lane-aligned sk tail masking
+        (640, 8192, 40, 2, None),   # 512^2 ReferenceOnly concat-KV (2 parts)
+        (192, 10368, 40, 1, None),  # 576^2 concat-KV (3 uneven parts + tail)
+        (200, 6000, 64, 2, None),   # non-lane-aligned sk tail masking
+        (640, 8192, 40, 1, 2),      # q split in two register-state chunks
+        (576, 10368, 40, 1, 3),     # three q chunks, uneven parts + tail
     ],
 )
-def test_carry_matches_dense(sq, sk, d, h):
+def test_carry_matches_dense(sq, sk, d, h, n_qsub):
     kq, kk, kv = jax.random.split(jax.random.PRNGKey(sq + sk), 3)
     q = jax.random.normal(kq, (1, sq, h, d), jnp.float32)
     k = jax.random.normal(kk, (1, sk, h, d), jnp.float32)
     v = jax.random.normal(kv, (1, sk, h, d), jnp.float32)
     scale = d**-0.5
-    out = _run_carry(q, k, v, scale)
+    out = _run_carry(q, k, v, scale, n_qsub=n_qsub)
     want = _dense_ref(q, k, v, scale)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(want), atol=2e-3, rtol=2e-3
