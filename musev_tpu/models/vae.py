@@ -226,7 +226,11 @@ def vae_decode_video(
     With ``mesh``/``axis``, the frame axis is sharded over the mesh axis and
     every chip decodes its own frames — the SD VAE is 2D (per-frame), so
     frame-parallel decode needs no collectives beyond the output gather.
-    The segment loop is skipped: sharding already divides HBM by n_chips."""
+    ``segment`` composes with the sharding: each chip loops its own frame
+    shard in ``segment``-frame chunks (shard_map, so the loop is per-chip,
+    not global), keeping per-chip peak HBM constant at long T — the
+    reference's 200-frame decoder_t_segment regime stays bounded on a mesh
+    instead of growing with T/n_chips."""
     b, t, h, w, c = latents.shape
     flat = latents.reshape(b * t, h, w, c)
     if mesh is not None:
@@ -237,9 +241,24 @@ def vae_decode_video(
         if pad:
             flat = jnp.concatenate([flat, flat[-1:].repeat(pad, 0)], axis=0)
         flat = jax.device_put(flat, NamedSharding(mesh, P(axis)))
-        # batch-parallel convs: XLA SPMD follows the input sharding, each
-        # chip decodes (b*t+pad)/n frames with zero cross-chip traffic
-        out = _decode_jit(params, cfg, flat)
+        per = flat.shape[0] // n
+        seg = min(segment, per)
+
+        def chip_decode(x):
+            # x: (per, h, w, 4), one chip's contiguous frame shard; the
+            # python loop is static and per-chip, so peak activation HBM is
+            # one `seg`-frame decode regardless of T
+            outs = [
+                vae_decode(params, cfg, x[s : s + seg])
+                for s in range(0, per, seg)
+            ]
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
+
+        out = jax.jit(
+            jax.shard_map(
+                chip_decode, mesh=mesh, in_specs=P(axis), out_specs=P(axis)
+            )
+        )(flat)
         out = jax.device_put(out, NamedSharding(mesh, P()))  # gather pixels
         out = out[: b * t]
         return out.reshape(b, t, *out.shape[1:])

@@ -221,7 +221,7 @@ class MusevPipeline:
         axis = self.fp_axis or self.dp_axis
         if self.mesh is not None and axis is not None:
             vid = vae_decode_video(
-                self.m.vae_params, self.m.vae_cfg, latents,
+                self.m.vae_params, self.m.vae_cfg, latents, segment,
                 mesh=self.mesh, axis=axis,
             )
         else:

@@ -54,6 +54,56 @@ def test_vae_video_mesh_sharded_equals_unsharded():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_vae_video_mesh_segment_long_form():
+    """Long-form mesh decode (T=65 on 8 chips, segment=2): the per-chip
+    segment loop must keep peak HBM bounded at `segment` frames per decode
+    while matching the unsharded segmented decode exactly (reference
+    decoder_t_segment regime, pipeline_controlnet.py:2157-2171)."""
+    from jax.sharding import Mesh
+
+    params = init_vae(jax.random.PRNGKey(0), TINY_VAE)
+    # T=65: 9 frames per chip after pad -> 5 per-chip segments of <=2
+    lat = jax.random.normal(jax.random.PRNGKey(2), (1, 65, 4, 4, 4))
+    want = vae_decode_video(params, TINY_VAE, lat, segment=2)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("fp",))
+    got = vae_decode_video(params, TINY_VAE, lat, segment=2, mesh=mesh,
+                           axis="fp")
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    # bounded per-chip peak: the lowered per-chip program must never hold a
+    # full 9-frame decode activation — check the largest intermediate conv
+    # activation in the compiled text stays at the segment size
+    n = mesh.shape["fp"]
+    per = -(-lat.shape[1] // n)
+    # decode at full per-chip shard in one shot for comparison of memory
+    # analysis (segment >= per disables the loop)
+    import re
+
+    def peak_bytes(segment):
+        flat = lat.reshape(-1, 4, 4, 4)
+        pad = (-flat.shape[0]) % n
+        flat = jnp.concatenate([flat, flat[-1:].repeat(pad, 0)], 0)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        flat = jax.device_put(flat, NamedSharding(mesh, P("fp")))
+        perq = flat.shape[0] // n
+        seg = min(segment, perq)
+
+        from musev_tpu.models.vae import vae_decode
+
+        def chip_decode(x):
+            outs = [vae_decode(params, TINY_VAE, x[s:s + seg])
+                    for s in range(0, perq, seg)]
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
+
+        f = jax.jit(jax.shard_map(chip_decode, mesh=mesh, in_specs=P("fp"),
+                                  out_specs=P("fp")))
+        mem = f.lower(flat).compile().memory_analysis()
+        return mem.temp_size_in_bytes
+
+    assert peak_bytes(2) < peak_bytes(100)
+
+
 def test_clip_text_shapes():
     cfg = CLIPTextConfig(vocab_size=100, hidden_size=32, num_layers=2,
                          num_heads=4, intermediate_size=64)
