@@ -55,6 +55,7 @@ _SMOKE_MODULES = {
     "test_noise_adain",
     "test_onnx_runtime",
     "test_processor_zoo",
+    "test_reference_direct_parity",
     "test_scheduler",
     "test_schedulers_all",
     "test_sd_weights",
