@@ -645,6 +645,58 @@ def export_unet3d(params, cfg: UNet3DConfig) -> Dict[str, np.ndarray]:
     return export_state_dict(unet3d_key_map(cfg), params)
 
 
+def export_key_names(key_map, params) -> List[str]:
+    """The torch keys ``export_state_dict`` would emit for this tree.
+
+    Consults only tree structure (key presence), no array data — so it
+    works on ``jax.eval_shape`` trees, letting the key-naming tests pin the
+    full flagship-preset key set without materializing gigabytes of params.
+    Consistency with export_state_dict is asserted in test_sd_weights."""
+    out: List[str] = []
+    for tk, path, kind in key_map:
+        if kind in ("raw", "embedding"):
+            node = _get(params, path[:-1])
+            if node is None or path[-1] not in node:
+                continue
+            out.append(tk if kind == "raw" else f"{tk}.weight")
+            continue
+        node = _get(params, path)
+        if node is None or ("kernel" not in node and "scale" not in node):
+            continue
+        if kind == "norm":
+            out += [f"{tk}.weight", f"{tk}.bias"]
+            continue
+        out.append(f"{tk}.weight")
+        if "bias" in node:
+            out.append(f"{tk}.bias")
+    return out
+
+
+def missing_torch_keys(
+    key_map, params, state_dict: Dict[str, np.ndarray],
+    aliases: Optional[Dict[str, str]] = None,
+) -> List[str]:
+    """Expected torch keys ABSENT from a checkpoint.
+
+    Conversion is deliberately tolerant (missing keys keep the init value,
+    strict=False mirror) — which means a renamed-key drift loads silently
+    with random weights. This is the loud counterpart: the loader's strict
+    mode raises when a user-supplied checkpoint leaves any of these
+    unconsumed."""
+    names = set(state_dict)
+    if aliases:
+        names = {
+            _apply_aliases(k, aliases) for k in names
+        }
+    return [k for k in export_key_names(key_map, params) if k not in names]
+
+
+def _apply_aliases(key: str, aliases: Dict[str, str]) -> str:
+    for old, new in aliases.items():
+        key = key.replace(old, new)
+    return key
+
+
 def ip_adapter_site_paths(cfg: UNet3DConfig) -> List[Tuple]:
     """attn2 sites in the IP-Adapter checkpoint order: down blocks, up
     blocks (skipping the attnless first up block), mid last

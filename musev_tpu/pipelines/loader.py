@@ -66,12 +66,33 @@ def _load_sd_base(path: str):
     return sd, None, None
 
 
+def _strict_check(slot, key_map, params, sd, aliases=None, allow=()):
+    """Raise when a user-supplied checkpoint leaves required sites at init.
+
+    Tolerant conversion (the strict=False mirror) means a renamed torch key
+    silently loads random weights — the bug class that hit FaceID
+    image_proj. With strict=True the loader refuses instead."""
+    missing = sd_weights.missing_torch_keys(key_map, params, sd, aliases)
+    if allow:
+        missing = [k for k in missing if not k.endswith(tuple(allow))]
+    if missing:
+        shown = ", ".join(missing[:8])
+        raise ValueError(
+            f"{slot} checkpoint leaves {len(missing)} required sites "
+            f"unconsumed (naming drift or wrong file?): {shown}"
+            + (" ..." if len(missing) > 8 else "")
+        )
+
+
 def build_models(
     preset: ModelPreset,
     seed: int = 0,
     dtype=jnp.float32,
     use_fast_init: bool = True,
+    strict: bool = False,
 ) -> MusevModels:
+    """``strict=True`` makes every user-supplied checkpoint raise (not log)
+    when it leaves required param sites unconsumed — see _strict_check."""
     key = jax.random.PRNGKey(seed)
 
     def init(fn, cfg, idx):
@@ -84,10 +105,21 @@ def build_models(
     text_params = init(init_clip_text, preset.text_cfg, 2)
 
     if preset.unet_checkpoint and os.path.exists(preset.unet_checkpoint):
+        unet_sd = _load_state_dict(preset.unet_checkpoint)
         n, leftover = sd_weights.convert_unet3d(
-            unet_params, preset.unet_cfg, _load_state_dict(preset.unet_checkpoint)
+            unet_params, preset.unet_cfg, unet_sd
         )
         logger.info("unet: %d tensors loaded, %d leftover", n, len(leftover))
+        if strict:
+            # dual-KV IP projections legitimately arrive from the separate
+            # ip_adapter(.bin) checkpoints, not the motion-UNet one
+            allow = ()
+            if preset.ip_adapter_checkpoint or preset.ip_adapter_face_checkpoint:
+                allow = ("to_k_ip.weight", "to_v_ip.weight")
+            _strict_check(
+                "unet", list(sd_weights.unet3d_key_map(preset.unet_cfg)),
+                unet_params, unet_sd, allow=allow,
+            )
     if preset.sd_base_checkpoint and os.path.exists(preset.sd_base_checkpoint):
         # T2I base overwrite of spatial weights (unet_loader.py:41-80);
         # original-LDM .ckpt bases are auto-split (convert_from_ckpt.py)
@@ -121,18 +153,31 @@ def build_models(
     ):
         p = getattr(preset, f"{slot}_checkpoint", None)
         if p and not os.path.exists(p):
+            if strict:
+                raise FileNotFoundError(
+                    f"{slot}_checkpoint {p!r} does not exist — the network "
+                    "would silently stay at random init"
+                )
             logger.warning(
                 "%s_checkpoint %r does not exist — network stays at its "
                 "current (possibly random) init", slot, p,
             )
     if preset.vae_checkpoint and os.path.exists(preset.vae_checkpoint):
-        sd_weights.convert_vae(
-            vae_params, preset.vae_cfg, _load_state_dict(preset.vae_checkpoint)
-        )
+        vae_sd = _load_state_dict(preset.vae_checkpoint)
+        sd_weights.convert_vae(vae_params, preset.vae_cfg, vae_sd)
+        if strict:
+            _strict_check(
+                "vae", list(sd_weights.vae_key_map(preset.vae_cfg)),
+                vae_params, vae_sd, aliases=sd_weights._VAE_LEGACY_ALIASES,
+            )
     if preset.text_checkpoint and os.path.exists(preset.text_checkpoint):
-        sd_weights.convert_clip_text(
-            text_params, preset.text_cfg, _load_state_dict(preset.text_checkpoint)
-        )
+        text_sd = _load_state_dict(preset.text_checkpoint)
+        sd_weights.convert_clip_text(text_params, preset.text_cfg, text_sd)
+        if strict:
+            _strict_check(
+                "text", list(sd_weights.clip_text_key_map(preset.text_cfg)),
+                text_params, text_sd,
+            )
 
     kwargs = {}
     if preset.referencenet_cfg is not None:
@@ -140,11 +185,18 @@ def build_models(
         if preset.referencenet_checkpoint and os.path.exists(
             preset.referencenet_checkpoint
         ):
+            ref_sd = _load_state_dict(preset.referencenet_checkpoint)
             n, _ = sd_weights.convert_referencenet(
-                rp, preset.referencenet_cfg,
-                _load_state_dict(preset.referencenet_checkpoint),
+                rp, preset.referencenet_cfg, ref_sd
             )
             logger.info("referencenet: %d tensors loaded", n)
+            if strict:
+                _strict_check(
+                    "referencenet",
+                    list(sd_weights.referencenet_key_map(
+                        preset.referencenet_cfg)),
+                    rp, ref_sd,
+                )
         kwargs["referencenet_params"] = rp
         kwargs["referencenet_cfg"] = preset.referencenet_cfg
     if preset.clip_vision_cfg is not None:
@@ -152,11 +204,18 @@ def build_models(
         if preset.clip_vision_checkpoint and os.path.exists(
             preset.clip_vision_checkpoint
         ):
+            cv_sd = _load_state_dict(preset.clip_vision_checkpoint)
             n, _ = sd_weights.convert_clip_vision(
-                cvp, preset.clip_vision_cfg,
-                _load_state_dict(preset.clip_vision_checkpoint),
+                cvp, preset.clip_vision_cfg, cv_sd
             )
             logger.info("clip_vision: %d tensors loaded", n)
+            if strict:
+                _strict_check(
+                    "clip_vision",
+                    list(sd_weights.clip_vision_key_map(
+                        preset.clip_vision_cfg)),
+                    cvp, cv_sd,
+                )
         kwargs["clip_vision_params"] = cvp
         kwargs["clip_vision_cfg"] = preset.clip_vision_cfg
         is_plus = "Plus" in preset.ip_adapter_model_name
@@ -231,11 +290,17 @@ def build_models(
         if preset.controlnet_checkpoint and os.path.exists(
             preset.controlnet_checkpoint
         ):
+            cn_sd = _load_state_dict(preset.controlnet_checkpoint)
             n, _ = sd_weights.convert_controlnet(
-                cnp, preset.controlnet_cfg,
-                _load_state_dict(preset.controlnet_checkpoint),
+                cnp, preset.controlnet_cfg, cn_sd
             )
             logger.info("controlnet: %d tensors loaded", n)
+            if strict:
+                _strict_check(
+                    "controlnet",
+                    list(sd_weights.controlnet_key_map(preset.controlnet_cfg)),
+                    cnp, cn_sd,
+                )
         kwargs["controlnet_params"] = cnp
         kwargs["controlnet_cfg"] = preset.controlnet_cfg
     if preset.pose_guider_checkpoint:
@@ -251,10 +316,14 @@ def build_models(
         )
         pgp = init(init_pose_guider, pg_cfg, 7)
         if os.path.exists(preset.pose_guider_checkpoint):
-            n, _ = sd_weights.convert_pose_guider(
-                pgp, pg_cfg, _load_state_dict(preset.pose_guider_checkpoint)
-            )
+            pg_sd = _load_state_dict(preset.pose_guider_checkpoint)
+            n, _ = sd_weights.convert_pose_guider(pgp, pg_cfg, pg_sd)
             logger.info("pose_guider: %d tensors loaded", n)
+            if strict:
+                _strict_check(
+                    "pose_guider",
+                    list(sd_weights.pose_guider_key_map(pg_cfg)), pgp, pg_sd,
+                )
         else:
             logger.warning(
                 "pose_guider checkpoint missing: %s (random init)",

@@ -50,6 +50,7 @@ _SMOKE_MODULES = {
     "test_face_emb",
     "test_guidance",
     "test_index_ops",
+    "test_key_naming",
     "test_ldm_convert",
     "test_lora_ti_config",
     "test_noise_adain",
