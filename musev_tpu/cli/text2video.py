@@ -94,6 +94,10 @@ def parse_args(argv=None):
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--strict_checkpoints", action="store_true",
+                   help="raise (instead of log) when a provided checkpoint "
+                        "is missing or leaves required param sites at "
+                        "random init (loader strict mode)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random-weight model (smoke tests, no checkpoints)")
     p.add_argument("--parallel", type=str, default="none",
@@ -200,7 +204,7 @@ def main(argv=None):
     from ..parallel.mesh import cli_topology
 
     mesh_ctx, par_kwargs = cli_topology(args.parallel)
-    models = build_models(preset, dtype=dtype)
+    models = build_models(preset, dtype=dtype, strict=args.strict_checkpoints)
     pipe = MusevPipeline(
         models, scheduler_name=scheduler, dtype=dtype, **par_kwargs
     )

@@ -97,6 +97,10 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--scheduler", type=str, default="euler")
     p.add_argument("--max_frames", type=int, default=None)
+    p.add_argument("--strict_checkpoints", action="store_true",
+                   help="raise (instead of log) when a provided checkpoint "
+                        "is missing or leaves required param sites at "
+                        "random init (loader strict mode)")
     p.add_argument("--dtype", type=str, default="float32")
     p.add_argument("--parallel", type=str, default="none",
                    choices=["none", "fp", "dp"],
@@ -138,7 +142,7 @@ def main(argv=None):
     from ..parallel.mesh import cli_topology
 
     mesh_ctx, par_kwargs = cli_topology(args.parallel)
-    models = build_models(preset, dtype=dtype)
+    models = build_models(preset, dtype=dtype, strict=args.strict_checkpoints)
     pipe = MusevPipeline(
         models, scheduler_name=scheduler, dtype=dtype, **par_kwargs
     )
