@@ -386,7 +386,7 @@ def main():
         #
         # The headline uses 50% achievable ICI bandwidth (100 GB/s/chip of
         # the 1600 Gbit/s aggregate) + 5 us launch per collective; because
-        # the fp program issues ~332 collectives/step, the projection is
+        # the fp program issues ~366 collectives/step, the projection is
         # also printed at its assumption CORNERS (launch 5/25 us x ICI
         # efficiency 50%/30%) and the worst corner is reported alongside.
         # Caveat (stated in README too): the per-shard time is measured via

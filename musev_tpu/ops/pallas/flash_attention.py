@@ -457,10 +457,18 @@ def _carry_plan(sk: int, d_p: int) -> tuple:
 
 
 def _carry_qsub(bq: int) -> int:
-    """Independent q register-state chunks per carry grid step (provisional
-    2 pending the on-chip sweep): two chunks' QK^T/softmax chains interleave
-    so the VPU softmax of one hides behind the MXU matmul of the other, even
-    with a single KV sub-block per part. Chunks must stay 8-row aligned."""
+    """Independent q register-state chunks per carry grid step: two chunks'
+    QK^T/softmax chains interleave so the VPU softmax of one hides behind
+    the MXU matmul of the other, even with a single KV sub-block per part.
+
+    Swept on v5e (2026-08-20, bh=96 sq=5184 sk=10368 d=40, ms per call,
+    scripts/bench_longkv_carry.py): at the production (3,3456,3456) plan
+    n_qsub=2 is uniformly best — 21.6-21.8 vs 22.2-23.9 at n_qsub=1 and
+    21.9/22.3 at 3/4 (same-session pairs; ~+9%%). Wider q blocks to cut the
+    K/V refetch (bq 864-2592 with short parts for the ~4*part*bq scoped-
+    vmem logits bound) all LOST: 24.4-31.6 ms — part boundaries serialize
+    more than the refetch costs, so the refetch is well-hidden. Chunks must
+    stay 8-row aligned."""
     for n in (2, 1):
         if bq % n == 0 and (bq // n) % 8 == 0:
             return n

@@ -63,13 +63,12 @@ def main():
     x = jax.random.normal(kq, (4096, 4096), dt)
     mm = jax.jit(lambda a: a @ a)
     t = timeit(mm, x)
-    print(f"canary 4096^3 bf16: {2 * 4096**3 / t / 1e12:.1f} TF/s")
+    print(f"canary 4096^3 bf16: {2 * 4096**3 / t / 1e12:.1f} TF/s",
+          flush=True)
 
-    bq = fa._pick_block(sq, fa._bq_target(sq, sk, d))
-    sq_p = fa._cdiv(sq, bq) * bq
-    qb = fa._pad_rows(q, sq_p)
-
-    def run(part, sub, n_qsub, bq=bq, qb=qb):
+    def run(bq, part, sub, n_qsub):
+        sq_p = fa._cdiv(sq, bq) * bq
+        qb = fa._pad_rows(q, sq_p)
         n_parts = fa._cdiv(sk, part)
         sk_p = n_parts * part
         kb = fa._pad_rows(k, sk_p)
@@ -79,29 +78,42 @@ def main():
             int(part), int(sk), n_qsub=int(n_qsub),
         )
 
-    print(f"shape bh={bh} sq={sq} sk={sk} d={d}  bq={bq}")
-    plans = [
-        (3456, 3456), (3456, 1728), (3456, 1152), (3456, 576),
-        (4608, 1152), (4608, 2304),
+    print(f"shape bh={bh} sq={sq} sk={sk} d={d}", flush=True)
+    # K/V HBM refetch scales with ceil(sq_p/bq): wide q blocks cut the
+    # dominant DMA term (9 sweeps at bq=576 = 4.6 GB/call at this shape),
+    # inner q chunks (n_qsub) keep the logits tile and register set small.
+    # Hand-pruned list — tunnel compiles are minutes each.
+    # VMEM constraint (measured): Mosaic does NOT reuse the fp32 logits
+    # buffers across the unrolled sub-blocks of a part, so scoped vmem
+    # scales as ~4*part*bq bytes regardless of sub ((1728,3456,864) asked
+    # for 21.09M; (864,3456,864) fits). Wide bq therefore needs a SHORT
+    # part (more parts, same K/V traffic, same total logits).
+    configs = [
+        (576, 3456, 3456, 1),    # round-4 baseline plan
+        (576, 3456, 3456, 2),    # first-sweep best
+        (864, 3456, 3456, 1),
+        (864, 3456, 864, 2),
+        (1728, 1152, 1152, 2),
+        (1728, 1152, 576, 2),
+        (1728, 1152, 576, 3),
+        (2592, 864, 864, 3),
+        (2592, 768, 768, 3),
     ]
-    qsubs = [1, 2, 3, 4]
     rows = []
-    for (part, sub), nq in itertools.product(plans, qsubs):
-        if bq % nq or (bq // nq) % 8:
-            continue
+    for bq, part, sub, nq in configs:
         try:
-            t = run(part, sub, nq)
+            t = run(bq, part, sub, nq)
         except Exception as e:  # VMEM cliff: record and move on
-            print(f"part={part:5d} sub={sub:5d} n_qsub={nq}  FAIL "
-                  f"{type(e).__name__}: {str(e)[:80]}")
+            print(f"bq={bq:4d} part={part:4d} sub={sub:4d} n_qsub={nq}  "
+                  f"FAIL {type(e).__name__}: {str(e)[:60]}", flush=True)
             continue
-        rows.append((t, part, sub, nq))
-        print(f"part={part:5d} sub={sub:5d} n_qsub={nq}  "
-              f"{t * 1e3:7.2f} ms  {flops / t / 1e12:5.1f} TF/s")
+        rows.append((t, bq, part, sub, nq))
+        print(f"bq={bq:4d} part={part:4d} sub={sub:4d} n_qsub={nq}  "
+              f"{t * 1e3:7.2f} ms  {flops / t / 1e12:5.1f} TF/s", flush=True)
     rows.sort()
-    t, part, sub, nq = rows[0]
-    print(f"BEST part={part} sub={sub} n_qsub={nq}  {t * 1e3:.2f} ms  "
-          f"{flops / t / 1e12:.1f} TF/s")
+    t, bq, part, sub, nq = rows[0]
+    print(f"BEST bq={bq} part={part} sub={sub} n_qsub={nq}  "
+          f"{t * 1e3:.2f} ms  {flops / t / 1e12:.1f} TF/s")
 
 
 if __name__ == "__main__":
