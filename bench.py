@@ -278,10 +278,22 @@ def main():
     # depends on the RNG key path; perturbing latents each iter (round-1
     # scheme) forced a fresh transfer into the timed region instead. The
     # readback sync already defeats result caching.
-    denoise_s, out = time_call(
-        fn, params, spec, lat, tu, tc, key, vary=2,
-        condition_latents=cond, **extra
-    )
+    oom_single = False
+    try:
+        denoise_s, out = time_call(
+            fn, params, spec, lat, tu, tc, key, vary=2,
+            condition_latents=cond, **extra
+        )
+    except Exception as e:
+        # BASELINE config #5 (704x1216, 78 rows) exceeds one chip's 16 GB
+        # HBM for the FULL single-chip plan — a real property of the shape,
+        # not a bug: the fp per-shard program (1/8 of the rows) is the
+        # production path. Record the OOM and carry on with the projection.
+        if "memory" not in str(e).lower() and "hbm" not in str(e).lower():
+            raise
+        oom_single = True
+        denoise_s = float("nan")
+        out = lat  # same shape/dtype as the denoised latents: decode timing
 
     decode_s = 0.0
     decode_shard_s = 0.0
@@ -346,6 +358,8 @@ def main():
     e2e = denoise_s + decode_s
     fps_chip = args.frames / e2e
     res_str = f"{height}^2" if height == width else f"{height}x{width}"
+    if oom_single:
+        fps_chip = float("nan")  # patched from the projection below
     result = {
         "metric": f"frames/sec/chip at {res_str}, {t}f VCPD plan "
                   f"({plan.n_windows}x{ctx}f windows, CFG); projected "
@@ -424,6 +438,18 @@ def main():
         result["projection_worst_case"] = round(worst, 3)
         result["vs_baseline_worst_case"] = round(3.0 / worst, 3)
         result["vs_baseline"] = round(3.0 / proj, 3)
+        if oom_single:
+            # single-chip e2e impossible at this shape (HBM): the headline
+            # becomes the per-chip rate on the projected v5e-8 machine
+            result["single_chip_oom_hbm"] = True
+            result["e2e_seconds_per_1s_video"] = None
+            result["denoise_seconds"] = None
+            result["value"] = round(args.frames / (proj * n_chips), 3)
+            result["metric"] = (
+                f"frames/sec/chip at {res_str}, {t}f VCPD plan "
+                f"({plan.n_windows}x{ctx}f windows, CFG) on projected "
+                "v5e-8 (single-chip plan exceeds 16 GB HBM)"
+            )
     elif shard_denoise_s is not None:
         # v5e-8 projection: every chip runs one window x one CFG half
         # concurrently under the overlap-8 plan (4 windows x 2 CFG = 8
@@ -472,6 +498,11 @@ def main():
     else:
         # no projection measured: report the single-chip ratio honestly
         result["vs_baseline"] = round(3.0 / e2e, 3)
+    for k in ("value", "e2e_seconds_per_1s_video", "denoise_seconds",
+              "vs_baseline"):
+        v = result.get(k)
+        if isinstance(v, float) and v != v:  # leftover NaN -> null
+            result[k] = None
     print(json.dumps(result))
 
 
