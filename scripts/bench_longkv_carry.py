@@ -113,7 +113,34 @@ def main():
     rows.sort()
     t, bq, part, sub, nq = rows[0]
     print(f"BEST bq={bq} part={part} sub={sub} n_qsub={nq}  "
-          f"{t * 1e3:.2f} ms  {flops / t / 1e12:.1f} TF/s")
+          f"{t * 1e3:.2f} ms  {flops / t / 1e12:.1f} TF/s", flush=True)
+
+    # DMA-stream kernel (manual double-buffered KV stream, one grid step
+    # per LARGE q chunk): KV is read only ceil(sq/bq) times and the carry
+    # kernel's per-grid-step scheduling bubbles disappear — but d pads to
+    # 128 lanes in HBM for DMA slicing. (bq, sub_kv, bq_inner):
+    def run_stream(bq, sub, bqi):
+        sq_p = fa._cdiv(sq, bq) * bq
+        qb = fa._pad_rows(q, sq_p)
+        sk_p = fa._cdiv(sk, sub) * sub
+        kb = fa._pad_rows(k, sk_p)
+        vb = fa._pad_rows(v, sk_p)
+        return timeit(
+            fa._flash_stream, qb, kb, vb, float(scale), int(bq), int(sub),
+            int(sk), int(bqi),
+        )
+
+    for bq, sub, bqi in [(2592, 1152, 648), (2592, 576, 648),
+                         (2592, 1152, 864), (1728, 1152, 576),
+                         (5184, 576, 576)]:
+        try:
+            t = run_stream(bq, sub, bqi)
+        except Exception as e:
+            print(f"stream bq={bq:4d} sub={sub:4d} bqi={bqi:4d}  FAIL "
+                  f"{type(e).__name__}: {str(e)[:60]}", flush=True)
+            continue
+        print(f"stream bq={bq:4d} sub={sub:4d} bqi={bqi:4d}  "
+              f"{t * 1e3:7.2f} ms  {flops / t / 1e12:5.1f} TF/s", flush=True)
 
 
 if __name__ == "__main__":
