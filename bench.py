@@ -289,7 +289,10 @@ def main():
         # HBM for the FULL single-chip plan — a real property of the shape,
         # not a bug: the fp per-shard program (1/8 of the rows) is the
         # production path. Record the OOM and carry on with the projection.
-        if "memory" not in str(e).lower() and "hbm" not in str(e).lower():
+        # Match the specific XLA HBM-exhaustion message — a loose
+        # "memory" match would also swallow Mosaic scoped-VMEM compile
+        # errors (kernel bugs) and report a plausible projected row.
+        if "memory space hbm" not in str(e).lower():
             raise
         oom_single = True
         denoise_s = float("nan")

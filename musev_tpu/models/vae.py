@@ -199,7 +199,7 @@ def vae_decode(params: Params, cfg: VAEConfig, latents: jnp.ndarray) -> jnp.ndar
     return conv2d(dec["conv_out"], x, padding=1)
 
 
-from functools import partial as _partial
+from functools import lru_cache as _lru_cache, partial as _partial
 
 
 @_partial(jax.jit, static_argnames=("cfg",))
@@ -210,6 +210,37 @@ def _decode_jit(params, cfg: VAEConfig, x):
 @_partial(jax.jit, static_argnames=("cfg",))
 def _encode_jit(params, cfg: VAEConfig, x):
     return vae_encode(params, cfg, x)
+
+
+@_lru_cache(maxsize=32)
+def _mesh_decode_fn(mesh, axis: str, cfg: VAEConfig, per: int, seg: int):
+    """Cached jitted shard_map decode for one (mesh, axis, cfg, per, seg).
+
+    Params are an ARGUMENT (replicated spec), not a closure capture: a
+    closure would inline the weights as constants into every trace, and a
+    fresh jit wrapper per call would retrace + recompile the full decoder
+    on each decode (minutes over the TPU tunnel). The cache keys on
+    hashables only. The test suite lowers this same function for its
+    per-chip peak-HBM assertion, so the bound is checked on the production
+    path, not a copy."""
+    from jax.sharding import PartitionSpec as P
+
+    def chip_decode(params, x):
+        # x: (per, h, w, 4), one chip's contiguous frame shard; the python
+        # loop is static and per-chip, so peak activation HBM is one
+        # `seg`-frame decode regardless of T
+        outs = [
+            vae_decode(params, cfg, x[s : s + seg])
+            for s in range(0, per, seg)
+        ]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
+
+    return jax.jit(
+        jax.shard_map(
+            chip_decode, mesh=mesh, in_specs=(P(), P(axis)),
+            out_specs=P(axis),
+        )
+    )
 
 
 def vae_decode_video(
@@ -242,23 +273,9 @@ def vae_decode_video(
             flat = jnp.concatenate([flat, flat[-1:].repeat(pad, 0)], axis=0)
         flat = jax.device_put(flat, NamedSharding(mesh, P(axis)))
         per = flat.shape[0] // n
-        seg = min(segment, per)
-
-        def chip_decode(x):
-            # x: (per, h, w, 4), one chip's contiguous frame shard; the
-            # python loop is static and per-chip, so peak activation HBM is
-            # one `seg`-frame decode regardless of T
-            outs = [
-                vae_decode(params, cfg, x[s : s + seg])
-                for s in range(0, per, seg)
-            ]
-            return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
-
-        out = jax.jit(
-            jax.shard_map(
-                chip_decode, mesh=mesh, in_specs=P(axis), out_specs=P(axis)
-            )
-        )(flat)
+        out = _mesh_decode_fn(mesh, axis, cfg, per, min(segment, per))(
+            params, flat
+        )
         out = jax.device_put(out, NamedSharding(mesh, P()))  # gather pixels
         out = out[: b * t]
         return out.reshape(b, t, *out.shape[1:])

@@ -104,22 +104,15 @@ def build_models(
     vae_params = init(init_vae, preset.vae_cfg, 1)
     text_params = init(init_clip_text, preset.text_cfg, 2)
 
+    unet_sd_keys = None
     if preset.unet_checkpoint and os.path.exists(preset.unet_checkpoint):
         unet_sd = _load_state_dict(preset.unet_checkpoint)
         n, leftover = sd_weights.convert_unet3d(
             unet_params, preset.unet_cfg, unet_sd
         )
         logger.info("unet: %d tensors loaded, %d leftover", n, len(leftover))
-        if strict:
-            # dual-KV IP projections legitimately arrive from the separate
-            # ip_adapter(.bin) checkpoints, not the motion-UNet one
-            allow = ()
-            if preset.ip_adapter_checkpoint or preset.ip_adapter_face_checkpoint:
-                allow = ("to_k_ip.weight", "to_v_ip.weight")
-            _strict_check(
-                "unet", list(sd_weights.unet3d_key_map(preset.unet_cfg)),
-                unet_params, unet_sd, allow=allow,
-            )
+        unet_sd_keys = set(unet_sd)
+        del unet_sd
     if preset.sd_base_checkpoint and os.path.exists(preset.sd_base_checkpoint):
         # T2I base overwrite of spatial weights (unet_loader.py:41-80);
         # original-LDM .ckpt bases are auto-split (convert_from_ckpt.py)
@@ -147,6 +140,37 @@ def build_models(
                 text_params, preset.text_cfg, ldm_text_sd
             )
             logger.info("ldm text encoder loaded")
+    if strict and unet_sd_keys is not None:
+        # the strict unet check runs AFTER the optional T2I base merge:
+        # spatial sites may legitimately arrive via sd_base_checkpoint
+        # (motion-module-style unet checkpoints carry only the temporal/
+        # MuseV-specific weights), and the dual-KV IP projections via the
+        # separate ip_adapter(.bin) checkpoints
+        allow = ()
+        if preset.ip_adapter_checkpoint or preset.ip_adapter_face_checkpoint:
+            allow = ("to_k_ip.weight", "to_v_ip.weight")
+        expected = sd_weights.export_key_names(
+            list(sd_weights.unet3d_key_map(preset.unet_cfg)), unet_params
+        )
+        missing = [k for k in expected
+                   if k not in unet_sd_keys and not k.endswith(allow)]
+        if preset.sd_base_checkpoint and os.path.exists(
+            preset.sd_base_checkpoint
+        ):
+            def _musev_only(k):
+                # sites no SD1.5 base can supply: temporal layers, frame
+                # embedding, transformer_in, refer-emb fuse attentions
+                return ("temp_" in k or k.startswith("frame_embedding")
+                        or "transformer_in" in k or "refer_emb" in k)
+
+            missing = [k for k in missing if _musev_only(k)]
+        if missing:
+            shown = ", ".join(missing[:8])
+            raise ValueError(
+                f"unet checkpoint leaves {len(missing)} required sites "
+                f"unconsumed (naming drift or wrong file?): {shown}"
+                + (" ..." if len(missing) > 8 else "")
+            )
     for slot in (
         "unet", "sd_base", "vae", "text", "clip_vision", "referencenet",
         "ip_adapter", "ip_adapter_face", "controlnet",

@@ -12,30 +12,17 @@ Run on the axon TPU env: python scripts/bench_longkv_split_vs_carry.py
 """
 
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, ".")
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 from musev_tpu.ops.pallas import flash_attention as fa  # noqa: E402
 
 
-def sync(x):
-    _ = float(jnp.ravel(x)[0])
-
-
-def timeit(f, *args, iters=10, **kw):
-    sync(f(*args, **kw))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = f(*args, **kw)
-        sync(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+from _bench_util import sync, timeit, chip_canary  # noqa: E402
 
 
 def main():

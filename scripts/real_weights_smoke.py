@@ -91,6 +91,16 @@ def _report_slot(slot, path, key_map, shape_tree, aliases=None):
     from musev_tpu.pipelines.loader import _load_state_dict
 
     expected = sw.export_key_names(list(key_map), shape_tree)
+    if slot == "sd_base":
+        # the T2I base only overwrites SPATIAL weights (merge_sd_base_
+        # weights); reporting temporal/motion/ip keys as "missing" against
+        # a plain 2D SD checkpoint would be false alarms on the tool's
+        # primary use case
+        expected = [k for k in expected
+                    if "temp_" not in k and not k.startswith("frame_embedding")
+                    and "transformer_in" not in k and "refer_emb" not in k
+                    and "_ip." not in k and "to_k_ip" not in k
+                    and "to_v_ip" not in k]
     sd = _load_state_dict(path)
     if slot in ("ip_adapter", "ip_adapter_face"):
         # .bin nesting: report the subdict key counts only (numbered-site

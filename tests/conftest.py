@@ -73,10 +73,10 @@ _SMOKE_MODULES = {
 # inside one CI/judge slot. Measured warm: 22 min 23 s (4 tests,
 # 2026-08-20, this host).
 _HEAVY_CORE_TESTS = {
-    "test_fp_denoise_loop_matches_base",
-    "test_fp_train_grads_match_base",
-    "test_fp_highres_88x152_faceid_matches_base",
-    "test_build_models_ingests_every_slot",
+    ("test_frame_parallel", "test_fp_denoise_loop_matches_base"),
+    ("test_frame_parallel", "test_fp_train_grads_match_base"),
+    ("test_highres_mesh", "test_fp_highres_88x152_faceid_matches_base"),
+    ("test_checkpoint_ingestion", "test_build_models_ingests_every_slot"),
 }
 
 
@@ -86,7 +86,8 @@ def pytest_collection_modifyitems(config, items):
             continue
         if item.module.__name__ in _SMOKE_MODULES:
             item.add_marker(pytest.mark.smoke)
-        if item.name.split("[")[0] in _HEAVY_CORE_TESTS:
+        key = (item.module.__name__, item.name.split("[")[0])
+        if key in _HEAVY_CORE_TESTS:
             item.add_marker(pytest.mark.heavy_core)
 
 

@@ -179,6 +179,46 @@ def test_build_models_strict_ok_on_complete_checkpoint(tiny_strict_setup):
     build_models(preset, seed=3, strict=True)
 
 
+def test_build_models_strict_allows_sd_base_supplied_spatial(
+    tiny_strict_setup
+):
+    """A motion-module-style unet checkpoint (temporal/MuseV-only keys)
+    plus an sd_base checkpoint supplying the spatial weights is the
+    documented T2I-overwrite path (loader sd_base merge) — strict mode
+    must NOT flag the spatial keys, but must still flag missing temporal
+    ones."""
+    from musev_tpu.pipelines.loader import build_models
+
+    preset, sd, tmp = tiny_strict_setup
+
+    def musev_only(k):
+        return ("temp_" in k or k.startswith("frame_embedding")
+                or "transformer_in" in k or "refer_emb" in k)
+
+    motion_sd = {k: v for k, v in sd.items() if musev_only(k)}
+    base_sd = {k: v for k, v in sd.items() if not musev_only(k)}
+    p2 = dataclasses.replace(
+        preset,
+        unet_checkpoint=_save(motion_sd, tmp / "motion.safetensors"),
+        sd_base_checkpoint=_save(base_sd, tmp / "base.safetensors"),
+    )
+    build_models(p2, seed=3, strict=True)  # must not raise
+    # without the base, the same motion checkpoint must raise on spatial
+    p3 = dataclasses.replace(
+        preset, unet_checkpoint=p2.unet_checkpoint
+    )
+    with pytest.raises(ValueError, match="unconsumed"):
+        build_models(p3, seed=3, strict=True)
+    # with the base but a temporal key dropped, strict must still raise
+    broken = dict(motion_sd)
+    broken.pop(next(k for k in broken if "temp_" in k))
+    p4 = dataclasses.replace(
+        p2, unet_checkpoint=_save(broken, tmp / "motion_broken.safetensors")
+    )
+    with pytest.raises(ValueError, match="unconsumed"):
+        build_models(p4, seed=3, strict=True)
+
+
 def test_build_models_strict_raises_on_missing_file(tiny_strict_setup):
     from musev_tpu.pipelines.loader import build_models
 

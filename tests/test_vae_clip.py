@@ -70,35 +70,23 @@ def test_vae_video_mesh_segment_long_form():
                            axis="fp")
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
-    # bounded per-chip peak: the lowered per-chip program must never hold a
-    # full 9-frame decode activation — check the largest intermediate conv
-    # activation in the compiled text stays at the segment size
-    n = mesh.shape["fp"]
-    per = -(-lat.shape[1] // n)
-    # decode at full per-chip shard in one shot for comparison of memory
-    # analysis (segment >= per disables the loop)
-    import re
+    # bounded per-chip peak: lower the PRODUCTION mesh-decode function (the
+    # exact cached jit vae_decode_video dispatches to) and compare XLA's
+    # memory analysis — the segmented program must hold strictly less temp
+    # than the one-shot shard decode
+    from musev_tpu.models.vae import _mesh_decode_fn
 
     def peak_bytes(segment):
         flat = lat.reshape(-1, 4, 4, 4)
+        n = mesh.shape["fp"]
         pad = (-flat.shape[0]) % n
         flat = jnp.concatenate([flat, flat[-1:].repeat(pad, 0)], 0)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         flat = jax.device_put(flat, NamedSharding(mesh, P("fp")))
-        perq = flat.shape[0] // n
-        seg = min(segment, perq)
-
-        from musev_tpu.models.vae import vae_decode
-
-        def chip_decode(x):
-            outs = [vae_decode(params, TINY_VAE, x[s:s + seg])
-                    for s in range(0, perq, seg)]
-            return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
-
-        f = jax.jit(jax.shard_map(chip_decode, mesh=mesh, in_specs=P("fp"),
-                                  out_specs=P("fp")))
-        mem = f.lower(flat).compile().memory_analysis()
+        per = flat.shape[0] // n
+        f = _mesh_decode_fn(mesh, "fp", TINY_VAE, per, min(segment, per))
+        mem = f.lower(params, flat).compile().memory_analysis()
         return mem.temp_size_in_bytes
 
     assert peak_bytes(2) < peak_bytes(100)
